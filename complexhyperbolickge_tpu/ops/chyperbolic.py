@@ -1,0 +1,178 @@
+"""Complex-hyperbolic unit-ball ops (the paper's core math).
+
+The complex-hyperbolic distance (Bergman metric on the unit ball, computed via
+a Hermitian cross-ratio through the PU(n,1) lift) is implemented in *real*
+arithmetic over the reference's packed layout: a complex vector z of dimension
+R is stored as 2R reals [Re(z) | Im(z)].  This keeps every array real-typed —
+friendlier to the MXU/VPU and to Pallas — and makes the all-pairs form two
+plain matmuls.
+
+Semantics match reference utils/complexhyperbolic.py with lift=True (the
+paper's working path; the HEAD lift=False path shape-crashes, see SURVEY §2.4
+fact 1).  The reference's in-place signature flip (`w[...,-1].mul_(-1)`,
+utils/complexhyperbolic.py:179) is replaced by a functional explicit-lift
+variant, verified equal to the implicit lift.
+
+Key identity (implicit lift, curvature 1):
+    <z, w>  = sum_j z_j conj(w_j) - 1          (Hermitian form on the lift)
+    x       = 2 |<z,w>|^2 / (<z,z> <w,w>) - 1
+    dist    = acosh(x)
+with <z,z>, <w,w> clamped into [-1, -eps] and x clamped to >= 1 + eps
+(utils/complexhyperbolic.py:229-237).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from complexhyperbolickge_tpu.ops.math import MIN_NORM, ball_eps, safe_norm, tanh, artanh
+
+# The reference's complex-hyperbolic `project` uses a fixed eps = 1e-5
+# independent of dtype (utils/complexhyperbolic.py:83), unlike the Poincare
+# project which is dtype-dependent. Mirrored exactly.
+_PROJECT_EPS = 1e-5
+
+
+def project(x, c):
+    """Clip into the unit ball of curvature c. Reference: complexhyperbolic.py:72-87."""
+    norm = safe_norm(x)
+    maxnorm = (1 - _PROJECT_EPS) / (c**0.5)
+    cond = norm > maxnorm
+    projected = x / norm * maxnorm
+    return jnp.where(cond, projected, x)
+
+
+def expmap0(u, c):
+    """Exponential map at the origin. Reference: complexhyperbolic.py:41-54."""
+    sqrt_c = c**0.5
+    u_norm = safe_norm(u)
+    gamma_1 = tanh(sqrt_c * u_norm) * u / (sqrt_c * u_norm)
+    return project(gamma_1, c)
+
+
+def logmap0(y, c):
+    """Logarithmic map at the origin. Reference: complexhyperbolic.py:57-69."""
+    sqrt_c = c**0.5
+    y_norm = safe_norm(y)
+    return y / y_norm / sqrt_c * artanh(sqrt_c * y_norm)
+
+
+def real_mobius_add(x, y, c):
+    """Mobius addition (Poincare formula) on real vectors.
+
+    Reference: complexhyperbolic.py:90-106.
+    """
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    y2 = jnp.sum(y * y, axis=-1, keepdims=True)
+    xy = jnp.sum(x * y, axis=-1, keepdims=True)
+    num = (1 + 2 * c * xy + c * y2) * x + (1 - c * x2) * y
+    denom = 1 + 2 * c * xy + c**2 * x2 * y2
+    return num / jnp.maximum(denom, MIN_NORM)
+
+
+def mobius_add_complex(x, y):
+    """Complex Mobius addition on the unit disk. Reference: complexhyperbolic.py:109-122."""
+    return (x + y) / (1 + jnp.conj(x) * y)
+
+
+# ------------------------- packed-real complex helpers -----------------------
+
+
+def split_re_im(v):
+    """Split packed [Re | Im] layout into (re, im), each (..., R)."""
+    r = v.shape[-1] // 2
+    return v[..., :r], v[..., r:]
+
+
+def swap_neg(v):
+    """[Re | Im] -> [Im | -Re]; used to get Im(z conj(w)) as a single matmul."""
+    re, im = split_re_im(v)
+    return jnp.concatenate([im, -re], axis=-1)
+
+
+def hermitian_sqnorm_lifted(v):
+    """<z, z> - 1 = ||z||^2 - 1 for packed-real z (implicit PU(n,1) lift).
+
+    Reference: HermitianNorm with lift=True, complexhyperbolic.py:176-188.
+    """
+    return jnp.sum(v * v, axis=-1) - 1.0
+
+
+def _chyp_x(sr, si, znorm, wnorm, eps):
+    """Cross-ratio argument x from Hermitian pieces, with reference clamps."""
+    znorm = jnp.clip(znorm, -1.0, -eps)
+    wnorm = jnp.clip(wnorm, -1.0, -eps)
+    x = 2 * (sr * sr + si * si) / (znorm * wnorm) - 1.0
+    return jnp.maximum(x, 1 + eps)
+
+
+def chyp_distance(lhs, rhs):
+    """Broadcast complex-hyperbolic distance on packed-real inputs.
+
+    lhs: (..., 2R), rhs: (..., 2R) with standard numpy broadcasting across
+    leading dims (e.g. (B, 1, 2R) vs (B, K, 2R) in training).
+    Reference: Distance.forward, complexhyperbolic.py:213-237 (lift=True).
+    """
+    eps = ball_eps(lhs.dtype)
+    zr, zi = split_re_im(lhs)
+    wr, wi = split_re_im(rhs)
+    sr = jnp.sum(zr * wr + zi * wi, axis=-1) - 1.0
+    si = jnp.sum(zi * wr - zr * wi, axis=-1)
+    znorm = hermitian_sqnorm_lifted(lhs)
+    wnorm = hermitian_sqnorm_lifted(rhs)
+    x = _chyp_x(sr, si, znorm, wnorm, eps)
+    return jnp.arccosh(x)
+
+
+def chyp_distance_all(lhs, rhs):
+    """All-pairs complex-hyperbolic distance: lhs (B, 2R) vs rhs (N, 2R) -> (B, N).
+
+    The Hermitian form <z, w> over the packed layout is exactly two matmuls:
+        Re<z,w> + 1 = lhs @ rhs^T          (since Re(z conj w) = zr.wr + zi.wi)
+        Im<z,w>     = swap_neg(lhs) @ rhs^T (since Im(z conj w) = zi.wr - zr.wi)
+    Both land on the MXU; the epilogue is fused elementwise work.  This is the
+    TPU-native form of the reference's (B,1,d)x(1,N,d) broadcast eval.
+    """
+    eps = ball_eps(lhs.dtype)
+    sr = jnp.matmul(lhs, rhs.T, preferred_element_type=lhs.dtype) - 1.0
+    si = jnp.matmul(swap_neg(lhs), rhs.T, preferred_element_type=lhs.dtype)
+    znorm = hermitian_sqnorm_lifted(lhs)[:, None]  # (B, 1)
+    wnorm = hermitian_sqnorm_lifted(rhs)[None, :]  # (1, N)
+    x = _chyp_x(sr, si, znorm, wnorm, eps)
+    return jnp.arccosh(x)
+
+
+# ----------------------------- explicit lift ---------------------------------
+
+
+def lift(v):
+    """Explicit PU(n,1) lift of packed-real v: [re | im] -> [re, 1 | im, 0].
+
+    Functional replacement for the reference's get_rhs padding
+    (models/complexhyperbolic.py:61-73) — applied to BOTH sides, which fixes
+    the HEAD shape bug (SURVEY §2.4 fact 1).
+    """
+    re, im = split_re_im(v)
+    ones = jnp.ones((*v.shape[:-1], 1), dtype=v.dtype)
+    zeros = jnp.zeros_like(ones)
+    return jnp.concatenate([re, ones, im, zeros], axis=-1)
+
+
+def chyp_distance_explicit(lhs_lifted, rhs_lifted):
+    """Distance on explicitly lifted inputs with signature (+,...,+,-).
+
+    <z, w>_sig = sum_{j<R} z_j conj(w_j) - z_R conj(w_R).  With the last
+    coordinate fixed to 1 by `lift`, this equals the implicit-lift form; kept
+    as a tested, functional version of the reference's lift=False path
+    (complexhyperbolic.py:179, which mutated w in place).
+    """
+    eps = ball_eps(lhs_lifted.dtype)
+    zr, zi = split_re_im(lhs_lifted)
+    wr, wi = split_re_im(rhs_lifted)
+    sig = jnp.ones(zr.shape[-1], dtype=lhs_lifted.dtype).at[-1].set(-1.0)
+    sr = jnp.sum(sig * (zr * wr + zi * wi), axis=-1)
+    si = jnp.sum(sig * (zi * wr - zr * wi), axis=-1)
+    znorm = jnp.sum(sig * (zr * zr + zi * zi), axis=-1)
+    wnorm = jnp.sum(sig * (wr * wr + wi * wi), axis=-1)
+    x = _chyp_x(sr, si, znorm, wnorm, eps)
+    return jnp.arccosh(x)

@@ -1,0 +1,230 @@
+"""Poincare-ball and Lorentz-hyperboloid ops.
+
+Semantics match the reference's utils/hyperbolic.py (file:line cited per
+function).  Every distance comes in two forms:
+
+  * broadcast form  — matches the reference call pattern; used in training
+    where the candidate set is small (positives + sampled negatives).
+  * `*_all` form    — query block (B, d) against a full candidate table
+    (N, d); the inner contraction is written as a matmul so XLA places it on
+    the MXU and never materializes a (B, N, d) intermediate.  This is the
+    TPU-native replacement for the reference's broadcast-to-(B,N,d) eval path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from complexhyperbolickge_tpu.ops.math import MIN_NORM, arcosh, artanh, ball_eps, safe_norm, tanh
+
+
+# ------------------------------- Poincare ball -------------------------------
+
+
+def project(x, c):
+    """Clip points into the ball of curvature c with per-dtype margin.
+
+    Reference: utils/hyperbolic.py:73-88 (eps = BALL_EPS[dtype]).
+    """
+    norm = safe_norm(x)
+    eps = ball_eps(x.dtype)
+    maxnorm = (1 - eps) / (c**0.5)
+    cond = norm > maxnorm
+    projected = x / norm * maxnorm
+    return jnp.where(cond, projected, x)
+
+
+def expmap0(u, c):
+    """Exponential map at the origin of the Poincare ball.
+
+    Reference: utils/hyperbolic.py:42-55.
+    """
+    sqrt_c = c**0.5
+    u_norm = safe_norm(u)
+    gamma_1 = tanh(sqrt_c * u_norm) * u / (sqrt_c * u_norm)
+    return project(gamma_1, c)
+
+
+def logmap0(y, c):
+    """Logarithmic map at the origin of the Poincare ball.
+
+    Reference: utils/hyperbolic.py:58-70.
+    """
+    sqrt_c = c**0.5
+    y_norm = safe_norm(y)
+    return y / y_norm / sqrt_c * artanh(sqrt_c * y_norm)
+
+
+def mobius_add(x, y, c):
+    """Mobius addition on the Poincare ball. Reference: utils/hyperbolic.py:91-107."""
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    y2 = jnp.sum(y * y, axis=-1, keepdims=True)
+    xy = jnp.sum(x * y, axis=-1, keepdims=True)
+    num = (1 + 2 * c * xy + c * y2) * x + (1 - c * x2) * y
+    denom = 1 + 2 * c * xy + c**2 * x2 * y2
+    return num / jnp.maximum(denom, MIN_NORM)
+
+
+def hyp_distance(x, y, c):
+    """Poincare distance, shared curvature. Reference: utils/hyperbolic.py:170-191."""
+    sqrt_c = c**0.5
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    y2 = jnp.sum(y * y, axis=-1, keepdims=True)
+    xy = jnp.sum(x * y, axis=-1, keepdims=True)
+    c1 = 1 - 2 * c * xy + c * y2
+    c2 = 1 - c * x2
+    num = jnp.sqrt((c1**2) * x2 + (c2**2) * y2 - (2 * c1 * c2) * xy)
+    denom = 1 - 2 * c * xy + c**2 * x2 * y2
+    pairwise_norm = num / jnp.maximum(denom, MIN_NORM)
+    dist = artanh(sqrt_c * pairwise_norm)
+    return 2 * dist / sqrt_c
+
+
+def _hyp_dist_multi_c_from_parts(x2, xv, vnorm, c):
+    """Core of hyp_distance_multi_c given precomputed reductions.
+
+    x2:    ||x||^2, broadcastable to the output shape
+    xv:    <x, v/||v||>, output shape
+    vnorm: ||v||, broadcastable to the output shape
+    c:     curvature, broadcastable to the output shape
+    """
+    sqrt_c = c**0.5
+    gamma = tanh(sqrt_c * vnorm) / sqrt_c
+    c1 = 1 - 2 * c * gamma * xv + c * gamma**2
+    c2 = 1 - c * x2
+    num = jnp.sqrt((c1**2) * x2 + (c2**2) * (gamma**2) - (2 * c1 * c2) * gamma * xv)
+    denom = 1 - 2 * c * gamma * xv + (c**2) * (gamma**2) * x2
+    pairwise_norm = num / jnp.maximum(denom, MIN_NORM)
+    return 2 * artanh(sqrt_c * pairwise_norm) / sqrt_c
+
+
+def hyp_distance_multi_c(x, v, c):
+    """Poincare distance with per-example curvature, broadcast form.
+
+    `v` enters through its norm and direction only — the reference evaluates
+    the distance to expmap0(v) analytically (utils/hyperbolic.py:194-216).
+    Shapes broadcast like the reference: x (..., d) vs v (..., d).
+    """
+    vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    xv = jnp.sum(x * v / vnorm, axis=-1, keepdims=True)
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    return _hyp_dist_multi_c_from_parts(x2, xv, vnorm, c)
+
+
+def hyp_distance_multi_c_all(x, v, c):
+    """All-pairs form: x (B, d) queries vs v (N, d) tangent candidates -> (B, N).
+
+    The only cross term is <x, v/||v||>, computed as one (B,d)x(d,N) matmul on
+    the MXU; everything else is rank-1 broadcast arithmetic fused by XLA.
+    """
+    vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)  # (N, 1)
+    vdir = v / vnorm
+    xv = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype)  # (B, N)
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (B, 1)
+    return _hyp_dist_multi_c_from_parts(x2, xv, vnorm[:, 0][None, :], c)
+
+
+# ------------------------------ Lorentz model --------------------------------
+
+
+def expmap0_lorentz(u, c):
+    """Exponential map at the origin of the hyperboloid (space-like coords).
+
+    Reference: utils/hyperbolic.py:109-121.
+    """
+    sqrt_c = c**0.5
+    alpha = sqrt_c * safe_norm(u)
+    return (jnp.sinh(alpha) / alpha) * u
+
+
+def logmap0_lorentz(y, c):
+    """Logarithmic map at the origin of the hyperboloid.
+
+    Reference: utils/hyperbolic.py:123-136.
+    """
+    sqrt_c = c**0.5
+    y_norm = safe_norm(y)
+    beta = sqrt_c * jnp.sqrt(y_norm**2 + 1 / c)
+    return (arcosh(beta) / jnp.sqrt(beta**2 - 1)) * y
+
+
+def lorentz_boost(y, v, c):
+    """Lorentz boost of hyperboloid points by velocity parameter v.
+
+    Reference: utils/hyperbolic.py:138-164 (gamma clamped <= 15, velocity
+    tanh-normalized to stay below the speed of light).
+    """
+    norm_v = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    v = tanh(norm_v) * v / jnp.maximum(norm_v, 1e-12)
+    y0 = jnp.sqrt(jnp.sum(y**2, axis=-1, keepdims=True) + 1 / c)
+    g = jnp.sum(v**2, axis=-1, keepdims=True)
+    gamma = jnp.minimum(1 / jnp.sqrt(1 - g), 15.0)
+    factor = gamma**2 / (1 + gamma)
+    vy = jnp.sum(v * y, axis=-1, keepdims=True)
+    return -gamma * y0 * v + y + factor * vy * v
+
+
+def hyp_distance_multi_c_lorentz(x, v, c):
+    """Hyperboloid distance, per-example curvature, broadcast form.
+
+    Reference: utils/hyperbolic.py:218-239.  x, v carry space-like coords only;
+    the time coordinate is reconstructed from the hyperboloid constraint.
+    """
+    x0 = jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True) + 1 / c)
+    v0 = jnp.sqrt(jnp.sum(v**2, axis=-1, keepdims=True) + 1 / c)
+    res = jnp.sum(x * v, axis=-1, keepdims=True) - x0 * v0
+    return arcosh(-c * res) / (c**0.5)
+
+
+def hyp_distance_multi_c_lorentz_all(x, v, c):
+    """All-pairs hyperboloid distance: x (B, d) vs v (N, d), c (B, 1) -> (B, N)."""
+    x0 = jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True) + 1 / c)  # (B, 1)
+    v2 = jnp.sum(v**2, axis=-1)[None, :]  # (1, N)
+    v0 = jnp.sqrt(v2 + 1 / c)  # (B, N)
+    xv = jnp.matmul(x, v.T, preferred_element_type=x.dtype)  # (B, N)
+    res = xv - x0 * v0
+    return arcosh(-c * res) / (c**0.5)
+
+
+# --------------------- folded all-pairs model distances ----------------------
+#
+# The reference's BaseH / BaseLorentz similarity first expmaps every candidate
+# with the *query's* curvature and then evaluates the distance
+# (models/hyperbolic.py:45-49, :330-334).  Done literally in all-pairs mode
+# that is a (B, N, d) tensor.  But expmap0 preserves direction — only the
+# radius changes — so the candidate table contributes one direction matmul
+# plus per-(query, candidate) radius arithmetic.  These helpers compute
+# exactly  dist(x, expmap0(v, c))  for x (B, d), v (N, d), c (B, 1) -> (B, N).
+
+
+def hyp_sim_expmap_all(x, v, c):
+    """hyp_distance_multi_c(x, expmap0(v, c), c) in folded all-pairs form."""
+    un = safe_norm(v)  # (N, 1), clamped like expmap0's u_norm
+    vdir = v / un
+    xv = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype)  # (B, N)
+    sqrt_c = c**0.5  # (B, 1)
+    eps = ball_eps(v.dtype)
+    m = tanh(sqrt_c * un[:, 0][None, :]) / sqrt_c  # (B, N) radius after expmap0
+    m = jnp.minimum(m, (1 - eps) / sqrt_c)  # project() clip
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    return _hyp_dist_multi_c_from_parts(x2, xv, m, c)
+
+
+def lorentz_sim_expmap_all(x, v, c):
+    """hyp_distance_multi_c_lorentz(x, expmap0_lorentz(v, c), c), folded."""
+    un = safe_norm(v)  # (N, 1)
+    vdir = v / un
+    xdir = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype)  # (B, N)
+    sqrt_c = c**0.5
+    alpha = sqrt_c * un[:, 0][None, :]  # (B, N)
+    s = jnp.sinh(alpha) / alpha * un[:, 0][None, :]  # radius after expmap0_lorentz
+    x0 = jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True) + 1 / c)  # (B, 1)
+    v0 = jnp.sqrt(s**2 + 1 / c)  # (B, N)
+    res = xdir * s - x0 * v0
+    return arcosh(-c * res) / sqrt_c
+
+
+def explicit_lorentz(x, c):
+    """Prepend the time-like coordinate. Reference: utils/hyperbolic.py:246-263."""
+    x0 = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1 / c)
+    return jnp.concatenate([x0, x], axis=-1)

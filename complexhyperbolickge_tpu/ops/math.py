@@ -1,0 +1,73 @@
+"""Scalar math primitives with the reference's exact numerics.
+
+Parity notes (constants must match the reference bit-for-bit in f64):
+  * MIN_NORM = 1e-15                       (reference utils/hyperbolic.py:6)
+  * artanh input clamp ±(1 - 1e-5)         (utils/hyperbolic.py:15)
+  * tanh input clamp ±15                   (utils/hyperbolic.py:32)
+  * arcosh input clamp_min 1 + 1e-6        (utils/hyperbolic.py:36)
+  * per-dtype ball eps {f32: 4e-3, f64: 1e-5}  (utils/hyperbolic.py:7,
+    utils/complexhyperbolic.py:13); bf16 entry is new for TPU.
+
+The reference's Artanh is a custom autograd Function whose backward is
+g / (1 - x_clamped^2) — i.e. gradient still flows when the input was clamped.
+We reproduce that with a custom_vjp (plain autodiff through clamp would return
+zero gradient outside the clamp region).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MIN_NORM = 1e-15
+
+_BALL_EPS = {
+    jnp.dtype(jnp.bfloat16): 4e-2,
+    jnp.dtype(jnp.float32): 4e-3,
+    jnp.dtype(jnp.float64): 1e-5,
+}
+
+
+def ball_eps(dtype) -> float:
+    """Per-dtype boundary margin of the (complex-)hyperbolic unit ball."""
+    return _BALL_EPS[jnp.dtype(dtype)]
+
+
+@jax.custom_vjp
+def artanh(x):
+    x = jnp.clip(x, -1 + 1e-5, 1 - 1e-5)
+    # Reference computes in f64 internally regardless of input dtype
+    # (utils/hyperbolic.py:18); on TPU we stay in the working dtype — the
+    # clamp keeps the log arguments well away from 0 so f32 is stable.
+    return 0.5 * (jnp.log1p(x) - jnp.log1p(-x))
+
+
+def _artanh_fwd(x):
+    xc = jnp.clip(x, -1 + 1e-5, 1 - 1e-5)
+    return 0.5 * (jnp.log1p(xc) - jnp.log1p(-xc)), xc
+
+
+def _artanh_bwd(xc, g):
+    return (g / (1 - xc**2),)
+
+
+artanh.defvjp(_artanh_fwd, _artanh_bwd)
+
+
+def tanh(x):
+    """tanh with the reference's ±15 input clamp (utils/hyperbolic.py:32)."""
+    return jnp.tanh(jnp.clip(x, -15, 15))
+
+
+def arcosh(x):
+    """acosh with clamp_min 1 + 1e-6 (utils/hyperbolic.py:34-37)."""
+    return jnp.arccosh(jnp.maximum(x, 1 + 1e-6))
+
+
+def clamp_min(x, lo):
+    return jnp.maximum(x, lo)
+
+
+def safe_norm(x, axis=-1, keepdims=True):
+    """L2 norm clamped below by MIN_NORM, matching `.norm().clamp_min(MIN_NORM)`."""
+    return jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=keepdims), MIN_NORM)
