@@ -99,12 +99,14 @@ def run_pair(name, rank, multi_c=True, bias="learn", atol=1e-10):
     # train-mode: one gold tail per query
     with torch.no_grad():
         ref_scores, _ = ref_model(tq[:, :2].unsqueeze(1), tq[:, 2].unsqueeze(1))
-    if name == "AttRH" and ref_scores.dim() == 3 and ref_scores.shape[0] == ref_scores.shape[1]:
+    if name == "AttRH" and ref_scores.shape[0] == ref_scores.shape[1] == B:
         # reference AttRH broadcasting bug: the (B,1,1,2) attention weights
-        # cross the batch dim of the (B,*,1) distances, yielding (B,B,*)
+        # cross the batch dim of the (B,*,1) distances, yielding (B,B,...)
         # scores; the diagonal is the intended result (models/hyperbolic.py:
         # 178-196).  Our implementation computes the intended semantics.
-        ref_scores = torch.einsum("bbk->bk", ref_scores).unsqueeze(-1)
+        ref_scores = ref_scores[torch.arange(B), torch.arange(B)]
+        while ref_scores.dim() < 3:
+            ref_scores = ref_scores.unsqueeze(1)
     our_scores = ours.score(params, jnp.asarray(q[:, :2]), jnp.asarray(q[:, 2:3]))
     np.testing.assert_allclose(
         np.asarray(our_scores), ref_scores.squeeze(-1).numpy(), atol=atol,
@@ -114,8 +116,8 @@ def run_pair(name, rank, multi_c=True, bias="learn", atol=1e-10):
     # all-entity mode
     with torch.no_grad():
         ref_all, _ = ref_model(tq[:, :2].unsqueeze(1), None)
-    if name == "AttRH" and ref_all.dim() == 4:
-        ref_all = torch.einsum("bbnk->bnk", ref_all)
+    if name == "AttRH" and ref_all.shape[0] == ref_all.shape[1] == B:
+        ref_all = ref_all[torch.arange(B), torch.arange(B)]
     our_all = ours.score_all(params, jnp.asarray(q[:, :2]))
     np.testing.assert_allclose(
         np.asarray(our_all), ref_all.squeeze(-1).numpy(), atol=atol,
