@@ -1,0 +1,248 @@
+"""Training CLI — flag-compatible with the reference run.py:29-131.
+
+Protocol (reference run.py:134-270): build dataset -> model -> trainer; epoch
+loop with per-epoch train/valid loss, filtered-metric validation every
+`--valid` epochs, best-MRR checkpointing, patience early stopping; final
+best-model reload, valid+test metrics, and per-relation test metrics
+(generic over n_relations — the reference hardcodes relations 0..10,
+run.py:169,267-270).
+
+Improvements over the reference (documented divergences):
+  * single logging handler (reference registers two and logs twice,
+    run.py:141-154)
+  * full-state checkpointing with --resume (reference cannot resume)
+  * per-epoch triples/sec throughput logging (the north-star metric)
+  * both KGOptimizer-style (FFT/shallow) and GNN training are first-class
+    (reference HEAD can only train GNN models, kg_optimizer.py:325)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from complexhyperbolickge_tpu.data.dataset import KGData, epoch_batches, synthetic_kg
+from complexhyperbolickge_tpu.models import ModelConfig, all_models, get_model
+from complexhyperbolickge_tpu.train.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+from complexhyperbolickge_tpu.train.evaluate import (
+    avg_both,
+    compute_metrics,
+    count_params,
+    format_metrics,
+    make_ranker,
+)
+from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
+
+DATASETS = ["FB15K", "WN", "WN18RR", "FB237", "YAGO3-10", "synthetic"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native KG embedding training")
+    p.add_argument("--dataset", default="WN18RR", choices=DATASETS)
+    p.add_argument("--data_path", default=os.environ.get("DATA_PATH", "data"))
+    p.add_argument("--model", default="FFTRotH", choices=all_models)
+    p.add_argument("--regularizer", default="N3", choices=["N3", "F2", "L2"])
+    p.add_argument("--reg", default=0.0, type=float)
+    p.add_argument("--optimizer", default="Adagrad",
+                   choices=["Adagrad", "Adam", "SparseAdam"])
+    p.add_argument("--max_epochs", default=50, type=int)
+    p.add_argument("--patience", default=10, type=int)
+    p.add_argument("--valid", default=3, type=int, help="epochs between validation")
+    p.add_argument("--rank", default=1000, type=int)
+    p.add_argument("--batch_size", default=1000, type=int)
+    p.add_argument("--eval_batch_size", default=500, type=int)
+    p.add_argument("--update_steps", default=1, type=int)
+    p.add_argument("--neg_sample_size", default=50, type=int)
+    p.add_argument("--loss", default="crossentropy",
+                   choices=["crossentropy", "binarycrossentropy"])
+    p.add_argument("--dropout", default=0.0, type=float)
+    p.add_argument("--init_size", default=1e-3, type=float)
+    p.add_argument("--learning_rate", default=1e-1, type=float)
+    p.add_argument("--gamma", default=0.0, type=float)
+    p.add_argument("--bias", default="constant", choices=["constant", "learn", "none"])
+    p.add_argument("--dtype", default="double",
+                   choices=["float", "double", "single", "float32", "float64",
+                            "bfloat16"])
+    # reference defines this store_true but its sweep passes 0/1
+    # (tuning_fft.sh:45 — an argparse crash there); accept both forms.
+    p.add_argument("--double_neg", nargs="?", const=True, default=False,
+                   type=lambda s: bool(int(s)))
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--multi_c", action="store_true")
+    p.add_argument("--smoothing", default=None, type=float)
+    p.add_argument("--save_dir", default=".")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from save_dir's checkpoint")
+    # GNN-specific (parity with reference run.py:113-131)
+    p.add_argument("--hidden_dim", default=200, type=int)
+    p.add_argument("--edge_dropout", default=0.3, type=float)
+    p.add_argument("--layers", default=2, type=int)
+    p.add_argument("--opn", default="mult", choices=["mult", "add"])
+    p.add_argument("--interaction", default="distmult",
+                   choices=["distmult", "transe"])
+    p.add_argument("--basis", default=0, type=int)
+    return p
+
+
+def setup_logging(save_dir: str):
+    logging.basicConfig(
+        format="%(asctime)s %(levelname)-8s %(message)s",
+        level=logging.INFO,
+        datefmt="%Y-%m-%d %H:%M:%S",
+        stream=sys.stdout,
+        force=True,
+    )
+
+
+def load_dataset(args) -> KGData:
+    if args.dataset == "synthetic":
+        return synthetic_kg()
+    return KGData(os.path.join(args.data_path, args.dataset), args.debug)
+
+
+def build_model(args, dataset: KGData):
+    n_ent, n_rel, _ = dataset.get_shape()
+    cfg = ModelConfig(
+        n_entities=n_ent,
+        n_relations=n_rel,
+        rank=args.rank,
+        init_size=args.init_size,
+        bias=args.bias,
+        gamma=args.gamma,
+        multi_c=args.multi_c,
+        dtype={"float": "float32", "double": "float64", "single": "float32"}.get(
+            args.dtype, args.dtype
+        ),
+        dropout=args.dropout,
+    )
+    cls = get_model(args.model)
+    if args.model in ("PoincareGCN", "LorentzGCN", "CompGCN"):
+        return cls(cfg, args, dataset)
+    return cls(cfg)
+
+
+def train(args) -> dict:
+    save_dir = args.save_dir
+    os.makedirs(save_dir, exist_ok=True)
+    setup_logging(save_dir)
+    logging.info("Saving logs in: %s", save_dir)
+
+    if args.dtype in ("double", "float64"):
+        jax.config.update("jax_enable_x64", True)
+
+    dataset = load_dataset(args)
+    sizes = dataset.get_shape()
+    logging.info("\t %s", str(sizes))
+
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    model = build_model(args, dataset)
+    tcfg = TrainConfig(
+        regularizer=args.regularizer, reg=args.reg, optimizer=args.optimizer,
+        learning_rate=args.learning_rate, batch_size=args.batch_size,
+        update_steps=args.update_steps, neg_sample_size=args.neg_sample_size,
+        loss=args.loss, smoothing=args.smoothing, double_neg=args.double_neg,
+    )
+    trainer = Trainer(model, tcfg, sizes[0], sizes[1])
+
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+    params, opt_state = trainer.init(init_key)
+    logging.info("Total number of parameters %d", count_params(params))
+
+    train_examples = dataset.get_examples("train")
+    valid_examples = dataset.get_examples("valid")
+    labels = None
+    if tcfg.neg_sample_size <= 0 and tcfg.loss == "binarycrossentropy":
+        _, labels = dataset.label_pack("train")
+
+    start_epoch, best_mrr, best_epoch, counter = 1, None, None, 0
+    if args.resume and os.path.exists(os.path.join(save_dir, "state.pkl")):
+        st = load_checkpoint(save_dir)
+        params, opt_state = st["params"], st["opt_state"]
+        start_epoch = st["epoch"] + 1
+        best_mrr = st["best_mrr"]
+        logging.info("Resumed from epoch %d", st["epoch"])
+
+    rng = np.random.default_rng(args.seed)
+    rank_fn = make_ranker(model, args.eval_batch_size)
+    vb, vw, _ = epoch_batches(valid_examples, args.batch_size, None)
+
+    logging.info("\t Start training")
+    for epoch in range(start_epoch, args.max_epochs + 1):
+        t0 = time.perf_counter()
+        batches, weights, lab_b = epoch_batches(
+            train_examples, args.batch_size, rng, labels
+        )
+        key, ek, vk = jax.random.split(key, 3)
+        params, opt_state, train_loss = trainer.run_epoch(
+            params, opt_state, batches, weights, ek, labels=lab_b
+        )
+        dt = time.perf_counter() - t0
+        logging.info(
+            "\t Epoch %d | average train loss: %.4f | %.0f triples/s",
+            epoch, train_loss, len(train_examples) / dt,
+        )
+        valid_loss = trainer.valid_loss(params, vb, vw, vk)
+        logging.info("\t Epoch %d | average valid loss: %.4f", epoch, valid_loss)
+
+        if epoch % args.valid == 0:
+            valid_metrics = avg_both(compute_metrics(
+                model, params, dataset, "valid", args.eval_batch_size,
+                rank_fn=rank_fn,
+            ))
+            logging.info(format_metrics(valid_metrics, split="valid"))
+            valid_mrr = valid_metrics["MRR"]
+            if not best_mrr or valid_mrr > best_mrr:
+                best_mrr, counter, best_epoch = valid_mrr, 0, epoch
+                logging.info("\t Saving model at epoch %d in %s", epoch, save_dir)
+                save_checkpoint(save_dir, params, opt_state, epoch, best_mrr,
+                                config={"args": vars(args)})
+            else:
+                counter += 1
+                if counter == args.patience:
+                    logging.info("\t Early stopping")
+                    break
+
+    logging.info("\t Optimization finished")
+    if best_mrr:
+        logging.info("\t Loading best model saved at epoch %s", best_epoch)
+        params = load_checkpoint(save_dir)["params"]
+    else:
+        save_checkpoint(save_dir, params, opt_state, args.max_epochs, None,
+                        config={"args": vars(args)})
+
+    valid_metrics = avg_both(compute_metrics(
+        model, params, dataset, "valid", args.eval_batch_size, rank_fn=rank_fn))
+    logging.info(format_metrics(valid_metrics, split="valid"))
+    test_metrics = avg_both(compute_metrics(
+        model, params, dataset, "test", args.eval_batch_size, rank_fn=rank_fn))
+    logging.info(format_metrics(test_metrics, split="test"))
+    for i in range(dataset.n_predicates // 2):
+        rel_metrics = compute_metrics(
+            model, params, dataset, "test", args.eval_batch_size, rel_idx=i,
+            rank_fn=rank_fn,
+        )
+        logging.info("\t Results for relation %d", i)
+        logging.info(format_metrics(avg_both(rel_metrics), split="test"))
+    return {"valid": valid_metrics, "test": test_metrics}
+
+
+def main():
+    train(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Evaluation-only CLI — counterpart of the reference test.py:23-47.
+
+Reloads config.json + checkpoint from a model dir, rebuilds the model, and
+reports filtered test metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+
+from complexhyperbolickge_tpu.cli.run import build_model, load_dataset, setup_logging
+from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint, load_config
+from complexhyperbolickge_tpu.train.evaluate import (
+    avg_both,
+    compute_metrics,
+    format_metrics,
+)
+
+
+def test(model_dir: str, split: str = "test"):
+    setup_logging(model_dir)
+    cfg = load_config(model_dir)["args"]
+    args = argparse.Namespace(**cfg)
+    if args.dtype in ("double", "float64"):
+        jax.config.update("jax_enable_x64", True)
+    dataset = load_dataset(args)
+    model = build_model(args, dataset)
+    params = load_checkpoint(model_dir)["params"]
+    metrics = avg_both(
+        compute_metrics(model, params, dataset, split, args.eval_batch_size)
+    )
+    logging.info(format_metrics(metrics, split=split))
+    return metrics
+
+
+def main():
+    p = argparse.ArgumentParser(description="Evaluate a trained KG embedding model")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--split", default="test", choices=["valid", "test"])
+    test(**vars(p.parse_args()))
+
+
+if __name__ == "__main__":
+    main()

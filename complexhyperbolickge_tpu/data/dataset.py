@@ -1,0 +1,195 @@
+"""KG dataset container and TPU-ready packing.
+
+Replaces the reference's KGDataset (datasets/kg_dataset.py:18-73) and the
+label-matrix machinery of KGDataset2 (:75-130) with static-shape, device-
+friendly structures:
+
+  * triples: one int32 [N, 3] array per split; the train split is augmented
+    with inverse triples (swap head/tail, rel += n_relations/2 — reference
+    kg_dataset.py:54-60).
+  * eval packs: per direction, queries [n, 3] plus a PADDED dense filter
+    index array [n, Lmax] (pad value = n_entities, dropped by the masking
+    scatter) — replacing the reference's per-query Python dict loop
+    (models/base.py:264-268) with one vectorized scatter under jit.
+  * BCE label packs: padded true-tail index lists per (head, rel) query
+    (reference KGDataset2 builds scipy CSR matrices, kg_dataset.py:108-119;
+    padded indices keep shapes static and turn label construction into a
+    scatter inside the compiled step).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import os
+import pickle
+
+import numpy as np
+
+_SPLITS = ("train", "valid", "test")
+
+
+@dataclasses.dataclass
+class EvalPack:
+    """Static-shape filtered-ranking inputs for one direction of one split."""
+
+    queries: np.ndarray  # int32 [n, 3] (head, rel, gold-tail)
+    filter_idx: np.ndarray  # int32 [n, Lmax] true-entity ids, padded n_entities
+
+
+class KGData:
+    """Loads reference-format pickles or takes in-memory split arrays."""
+
+    def __init__(self, data_path: str | None = None, debug: bool = False,
+                 splits: dict | None = None, filters: dict | None = None):
+        self.debug = debug
+        if splits is None:
+            assert data_path is not None
+            splits = {}
+            for s in _SPLITS:
+                with open(os.path.join(data_path, s + ".pickle"), "rb") as f:
+                    splits[s] = pickle.load(f)
+            with open(os.path.join(data_path, "to_skip.pickle"), "rb") as f:
+                filters = pickle.load(f)
+        self.data = {s: np.asarray(v, dtype=np.int64) for s, v in splits.items()}
+        self.to_skip = filters
+        mx = np.max(self.data["train"], axis=0)
+        self.n_entities = int(max(mx[0], mx[2]) + 1)
+        # doubled relation count (with inverses), reference kg_dataset.py:39-41
+        self.n_predicates = int(mx[1] + 1) * 2
+        if filters is None:
+            from complexhyperbolickge_tpu.data.preprocess import build_filters
+
+            all_ex = np.concatenate([self.data[s] for s in _SPLITS], axis=0)
+            lhs, rhs = build_filters(all_ex, self.n_predicates // 2)
+            self.to_skip = {"lhs": lhs, "rhs": rhs}
+
+    # ------------------------------- protocol --------------------------------
+
+    def get_examples(self, split: str, rel_idx: int = -1) -> np.ndarray:
+        """Split triples; train is augmented with inverse triples.
+
+        Reference: kg_dataset.py:43-65 (incl. rel_idx filtering and the
+        debug truncation to 1000 examples).
+        """
+        ex = self.data[split]
+        if split == "train":
+            inv = ex[:, [2, 1, 0]].copy()
+            inv[:, 1] += self.n_predicates // 2
+            ex = np.concatenate([ex, inv], axis=0)
+        if rel_idx >= 0:
+            ex = ex[ex[:, 1] == rel_idx]
+        if self.debug:
+            ex = ex[:1000]
+        return ex.astype(np.int32)
+
+    def get_filters(self):
+        return self.to_skip
+
+    def get_shape(self):
+        return self.n_entities, self.n_predicates, self.n_entities
+
+    # ---------------------------- TPU-ready packs -----------------------------
+
+    def eval_pack(self, split: str, direction: str, rel_idx: int = -1) -> EvalPack:
+        """Queries + padded filter arrays for filtered ranking.
+
+        direction 'rhs' ranks tails of (h, r, ?); 'lhs' ranks heads via the
+        inverse relation: queries become (t, r + n_rel/2, h)
+        (reference models/base.py:313-314).  Every row's filter list gets the
+        gold tail appended (base.py:266-267), so the padded array always has
+        at least one valid entry.
+        """
+        ex = self.get_examples(split, rel_idx=rel_idx).astype(np.int64)
+        if direction == "lhs":
+            ex = np.stack(
+                [ex[:, 2], ex[:, 1] + self.n_predicates // 2, ex[:, 0]], axis=1
+            )
+        skip = self.to_skip[direction]
+        lists = [skip.get((int(q[0]), int(q[1])), []) for q in ex]
+        lmax = max((len(l) for l in lists), default=0) + 1  # +1 for gold tail
+        fidx = np.full((len(ex), lmax), self.n_entities, dtype=np.int32)
+        for i, l in enumerate(lists):
+            fidx[i, : len(l)] = l
+            fidx[i, len(l)] = ex[i, 2]
+        return EvalPack(queries=ex.astype(np.int32), filter_idx=fidx)
+
+    def label_pack(self, split: str):
+        """Padded true-tail lists per training example, for the BCE loss.
+
+        Row i of the result holds all true tails of (h_i, r_i) across the
+        split (reference KGDataset2 builds the same information as CSR label
+        matrices, kg_dataset.py:87-119).  Padding value = n_entities.
+        """
+        ex = self.get_examples(split).astype(np.int64)
+        by_query = collections.defaultdict(list)
+        for h, r, t in ex:
+            by_query[(int(h), int(r))].append(int(t))
+        lmax = max(len(v) for v in by_query.values())
+        lab = np.full((len(ex), lmax), self.n_entities, dtype=np.int32)
+        for i, (h, r, _) in enumerate(ex):
+            tails = by_query[(int(h), int(r))]
+            lab[i, : len(tails)] = tails
+        return ex.astype(np.int32), lab
+
+
+def synthetic_kg(n_entities: int = 200, n_relations: int = 11,
+                 n_train: int = 2000, n_valid: int = 200, n_test: int = 200,
+                 seed: int = 0) -> KGData:
+    """Random KG with the reference datasets' shape statistics; used by tests
+    and by bench.py when no real dataset is on disk (zero-egress image)."""
+    rng = np.random.default_rng(seed)
+
+    def draw(n):
+        h = rng.integers(0, n_entities, size=n)
+        r = rng.integers(0, n_relations, size=n)
+        t = rng.integers(0, n_entities, size=n)
+        return np.stack([h, r, t], axis=1).astype(np.int64)
+
+    train = draw(n_train)
+    # ensure every entity/relation id appears in train so shapes are maximal
+    train[: n_entities, 0] = np.arange(n_entities)
+    train[: n_relations, 1] = np.arange(n_relations)
+    splits = {"train": train, "valid": draw(n_valid), "test": draw(n_test)}
+    return KGData(splits=splits, filters=None)
+
+
+def epoch_batches(examples: np.ndarray, batch_size: int,
+                  rng: np.random.Generator | None, labels: np.ndarray | None = None):
+    """Shuffle and pack one epoch into static-shape batches + weight mask.
+
+    Returns (batches [nb, B, 3] int32, weights [nb, B] float32,
+    label_batches [nb, B, L] or None).  The final partial batch is padded
+    with copies of row 0 and masked to weight 0, so every batch has identical
+    shape and the whole epoch can be lax.scan-ned as one XLA program (the
+    reference's Python while-loop over slices,
+    optimizers/kg_optimizer.py:248-276, becomes one compiled scan).
+    rng=None skips shuffling (validation-loss passes).
+    """
+    n = examples.shape[0]
+    ex = examples
+    if rng is not None:
+        perm = rng.permutation(n)
+        ex = examples[perm]
+        if labels is not None:
+            labels = labels[perm]
+    nb = -(-n // batch_size)
+    pad = nb * batch_size - n
+    weights = np.ones(nb * batch_size, dtype=np.float32)
+    if pad:
+        ex = np.concatenate([ex, np.broadcast_to(ex[:1], (pad, 3))], axis=0)
+        if labels is not None:
+            labels = np.concatenate(
+                [labels, np.broadcast_to(labels[:1], (pad, labels.shape[1]))], axis=0
+            )
+        weights[n:] = 0.0
+    lab_b = (
+        None
+        if labels is None
+        else labels.reshape(nb, batch_size, labels.shape[1]).astype(np.int32)
+    )
+    return (
+        ex.reshape(nb, batch_size, 3).astype(np.int32),
+        weights.reshape(nb, batch_size),
+        lab_b,
+    )

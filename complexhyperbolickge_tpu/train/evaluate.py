@@ -1,0 +1,106 @@
+"""Filtered-ranking evaluation: MR / MRR / Hits@{1,3,10}, lhs+rhs averaged.
+
+Protocol parity with reference models/base.py:228-322 and utils/train.py:23-47:
+  rank = 1 + #{score >= target} after setting all filtered entities
+  (including the gold tail) to -1e6; metrics averaged over the tail- and
+  head-prediction directions (the lhs direction queries the inverse relation).
+
+TPU design: the reference runs a per-query Python loop of dict lookups to
+apply filters (base.py:264-268 — a GPU->CPU sync per batch).  Here filters
+are pre-packed as padded index arrays (data/dataset.py:eval_pack) and applied
+as ONE vectorized scatter inside the jitted ranking function; the score
+matrix itself comes from the models' all-pairs MXU form (score_all).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_ranker(model, eval_batch_size: int):
+    """Compiled filtered-ranking over one query batch."""
+
+    @jax.jit
+    def rank_batch(params, q, fidx):
+        scores = model.score_all(params, q[:, :2])  # (B, N)
+        target = jnp.take_along_axis(scores, q[:, 2:3], axis=1)  # (B, 1)
+        rows = jnp.arange(q.shape[0])[:, None]
+        scores = scores.at[rows, fidx].set(-1e6, mode="drop")
+        return 1.0 + jnp.sum(scores >= target, axis=1).astype(jnp.float32)
+
+    return rank_batch
+
+
+def get_ranking(model, params, pack, batch_size: int = 500, rank_fn=None):
+    """Ranks of the gold entity for every query in an EvalPack."""
+    rank_fn = rank_fn or make_ranker(model, batch_size)
+    q, fidx = pack.queries, pack.filter_idx
+    n = q.shape[0]
+    nb = -(-n // batch_size)
+    pad = nb * batch_size - n
+    if pad:
+        q = np.concatenate([q, np.broadcast_to(q[:1], (pad, 3))], axis=0)
+        fidx = np.concatenate(
+            [fidx, np.broadcast_to(fidx[:1], (pad, fidx.shape[1]))], axis=0
+        )
+    ranks = []
+    for i in range(nb):
+        s = slice(i * batch_size, (i + 1) * batch_size)
+        r = rank_fn(params, jnp.asarray(q[s]), jnp.asarray(fidx[s]))
+        ranks.append(np.asarray(r))
+    out = np.concatenate(ranks)[:n]
+    assert np.isfinite(out).all()
+    return out
+
+
+def _direction_metrics(ranks: np.ndarray):
+    return {
+        "MR": float(np.mean(ranks)),
+        "MRR": float(np.mean(1.0 / ranks)),
+        "hits@[1,3,10]": [float(np.mean(ranks <= k)) for k in (1, 3, 10)],
+    }
+
+
+def compute_metrics(model, params, dataset, split: str, batch_size: int = 500,
+                    rel_idx: int = -1, rank_fn=None):
+    """Both-direction filtered metrics (reference models/base.py:282-322)."""
+    rank_fn = rank_fn or make_ranker(model, batch_size)
+    out = {}
+    for direction in ("rhs", "lhs"):
+        pack = dataset.eval_pack(split, direction, rel_idx=rel_idx)
+        if len(pack.queries) == 0:
+            out[direction] = {"MR": 0.0, "MRR": 0.0, "hits@[1,3,10]": [0.0] * 3}
+            continue
+        ranks = get_ranking(model, params, pack, batch_size, rank_fn=rank_fn)
+        out[direction] = _direction_metrics(ranks)
+    return out
+
+
+def avg_both(metrics):
+    """Average lhs/rhs metric dicts (reference utils/train.py:23-37)."""
+    lhs, rhs = metrics["lhs"], metrics["rhs"]
+    return {
+        "MR": (lhs["MR"] + rhs["MR"]) / 2,
+        "MRR": (lhs["MRR"] + rhs["MRR"]) / 2,
+        "hits@[1,3,10]": [
+            (a + b) / 2 for a, b in zip(lhs["hits@[1,3,10]"], rhs["hits@[1,3,10]"])
+        ],
+    }
+
+
+def format_metrics(metrics, split: str) -> str:
+    """Log line formatting (reference utils/train.py:40-47)."""
+    h = metrics["hits@[1,3,10]"]
+    return (
+        f"\t {split} MR: {metrics['MR']:.2f} | MRR: {metrics['MRR']:.3f} | "
+        f"H@1: {h[0]:.3f} | H@3: {h[1]:.3f} | H@10: {h[2]:.3f}"
+    )
+
+
+def count_params(params) -> int:
+    """Total parameter count (reference utils/train.py:59-67)."""
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -1,0 +1,202 @@
+"""Training engine: optimizer wiring + whole-epoch compiled training.
+
+Replaces the reference KGOptimizer (optimizers/kg_optimizer.py:14-316).
+The reference runs a Python while-loop doing per-batch H2D copies, backward,
+and stepping; here one epoch is a single jitted lax.scan over static-shape
+batches — device-resident end to end, with donated params/opt state.
+
+Optimizer parity:
+  * Adam  -> optax.adam with torch defaults (betas 0.9/0.999, eps 1e-8)
+  * Adagrad -> optax.adagrad with torch defaults (initial accumulator 0,
+    eps 1e-10) — reference run.py:205 uses torch.optim defaults
+  * SparseAdam -> dense adam (TPU gradients of embedding gathers are dense
+    scatter-adds; a dedicated sparse-row update is a later optimization)
+
+Gradient accumulation (`update_steps`, reference kg_optimizer.py:262-270):
+gradients are SUMMED over k batches (torch .backward() accumulates by sum)
+and applied every k-th batch and on the final batch of the epoch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from complexhyperbolickge_tpu.train import losses as L
+from complexhyperbolickge_tpu.train.regularizers import get_regularizer
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors the training-relevant argparse surface of reference run.py:29-131."""
+
+    regularizer: str = "N3"
+    reg: float = 0.0
+    optimizer: str = "Adam"
+    learning_rate: float = 1e-3
+    batch_size: int = 500
+    update_steps: int = 1
+    neg_sample_size: int = 100  # <= 0 to disable negative sampling
+    loss: str = "crossentropy"  # crossentropy | binarycrossentropy
+    smoothing: Optional[float] = None
+    double_neg: bool = False
+
+
+def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
+    if name == "Adam" or name == "SparseAdam":
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if name == "Adagrad":
+        return optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+class Trainer:
+    """Compiled train/valid loops over a fixed model + config."""
+
+    def __init__(self, model, cfg: TrainConfig, n_entities: int, n_relations: int,
+                 mesh=None, shardings=None):
+        self.model = model
+        self.cfg = cfg
+        self.n_entities = n_entities
+        self.n_relations = n_relations
+        self.tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+        self.reg_fn = get_regularizer(cfg.regularizer)
+        self._with_labels = (
+            cfg.neg_sample_size <= 0
+            and cfg.loss == "binarycrossentropy"
+        )
+        self._epoch_fn = self._build_epoch_fn()
+        self._valid_fn = self._build_valid_fn()
+
+    # ------------------------------- loss core -------------------------------
+
+    def _loss(self, params, batch, weights, labels, key):
+        cfg = self.cfg
+        if cfg.neg_sample_size > 0:
+            loss, factors = L.neg_sampling_loss(
+                self.model, params, batch, weights, key, self.n_entities,
+                cfg.neg_sample_size, cfg.double_neg, self.n_relations,
+            )
+        elif cfg.loss == "crossentropy":
+            loss, factors = L.cross_entropy_loss(
+                self.model, params, batch, weights, cfg.smoothing
+            )
+        elif cfg.loss == "binarycrossentropy":
+            if labels is not None:
+                loss, factors = L.bce_loss(
+                    self.model, params, batch, weights, labels,
+                    self.n_entities, cfg.smoothing,
+                )
+            else:
+                loss, factors = L.signed_logsigmoid_ce_loss(
+                    self.model, params, batch, weights
+                )
+        else:
+            raise ValueError(f"unknown loss {cfg.loss!r}")
+        loss = loss + self.reg_fn(
+            factors, cfg.reg, jnp.sum(weights), weights
+        )
+        return loss
+
+    # ----------------------------- compiled epoch ----------------------------
+
+    def _build_epoch_fn(self):
+        k_acc = max(1, self.cfg.update_steps)
+        grad_fn = jax.value_and_grad(self._loss)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def epoch_fn(params, opt_state, batches, weights, labels, key):
+            nb = batches.shape[0]
+            keys = jax.random.split(key, nb)
+            zero_grads = jax.tree.map(jnp.zeros_like, params)
+
+            def body(carry, xs):
+                params, opt_state, acc = carry
+                if labels is None:
+                    i, batch, w, k = xs
+                    lab = None
+                else:
+                    i, batch, w, lab, k = xs
+                loss, grads = grad_fn(params, batch, w, lab, k)
+                if k_acc == 1:
+                    updates, opt_state = self.tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                else:
+                    acc = jax.tree.map(jnp.add, acc, grads)
+                    do_update = ((i + 1) % k_acc == 0) | (i == nb - 1)
+
+                    def apply(args):
+                        params, opt_state, acc = args
+                        updates, opt_state = self.tx.update(acc, opt_state, params)
+                        params = optax.apply_updates(params, updates)
+                        return params, opt_state, jax.tree.map(jnp.zeros_like, acc)
+
+                    params, opt_state, acc = jax.lax.cond(
+                        do_update, apply, lambda a: a, (params, opt_state, acc)
+                    )
+                return (params, opt_state, acc), loss
+
+            idx = jnp.arange(nb)
+            xs = (
+                (idx, batches, weights, keys)
+                if labels is None
+                else (idx, batches, weights, labels, keys)
+            )
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, zero_grads), xs
+            )
+            return params, opt_state, jnp.mean(losses)
+
+        return epoch_fn
+
+    def _build_valid_fn(self):
+        @jax.jit
+        def valid_fn(params, batches, weights, labels, key):
+            nb = batches.shape[0]
+            keys = jax.random.split(key, nb)
+
+            def body(_, xs):
+                if labels is None:
+                    batch, w, k = xs
+                    lab = None
+                else:
+                    batch, w, lab, k = xs
+                return None, self._loss(params, batch, w, lab, k)
+
+            xs = (
+                (batches, weights, keys)
+                if labels is None
+                else (batches, weights, labels, keys)
+            )
+            _, losses = jax.lax.scan(body, None, xs)
+            return jnp.mean(losses)
+
+        return valid_fn
+
+    # -------------------------------- public ---------------------------------
+
+    def init(self, key):
+        params = self.model.init(key)
+        opt_state = self.tx.init(params)
+        return params, opt_state
+
+    def run_epoch(self, params, opt_state, batches, weights, key, labels=None):
+        """One full epoch; returns (params, opt_state, mean loss)."""
+        params, opt_state, loss = self._epoch_fn(
+            params, opt_state, jnp.asarray(batches), jnp.asarray(weights),
+            None if labels is None else jnp.asarray(labels), key,
+        )
+        return params, opt_state, float(loss)
+
+    def valid_loss(self, params, batches, weights, key, labels=None):
+        return float(
+            self._valid_fn(
+                params, jnp.asarray(batches), jnp.asarray(weights),
+                None if labels is None else jnp.asarray(labels), key,
+            )
+        )

@@ -1,0 +1,121 @@
+"""End-to-end training integration tests on a synthetic KG (the reference's
+--debug-slice pattern, SURVEY §4), covering each loss path, checkpoint/resume,
+and the full CLI protocol."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from complexhyperbolickge_tpu.data.dataset import epoch_batches, synthetic_kg
+from complexhyperbolickge_tpu.models import ModelConfig, get_model
+from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
+
+
+@pytest.fixture(scope="module")
+def data():
+    return synthetic_kg(n_entities=50, n_relations=4, n_train=400, n_valid=60,
+                        n_test=60, seed=1)
+
+
+def _train(data, model_name="FFTRotH", rank=5, epochs=3, **tcfg_kw):
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=rank,
+                      multi_c=True, dtype="float32")
+    model = get_model(model_name)(cfg)
+    tcfg = TrainConfig(learning_rate=0.05, batch_size=64, **tcfg_kw)
+    trainer = Trainer(model, tcfg, n_ent, n_rel)
+    key = jax.random.PRNGKey(0)
+    params, opt_state = trainer.init(key)
+    ex = data.get_examples("train")
+    labels = None
+    if tcfg.neg_sample_size <= 0 and tcfg.loss == "binarycrossentropy":
+        ex, labels = data.label_pack("train")
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(epochs):
+        b, w, lb = epoch_batches(ex, tcfg.batch_size, rng, labels)
+        key, ek = jax.random.split(key)
+        params, opt_state, loss = trainer.run_epoch(params, opt_state, b, w, ek,
+                                                    labels=lb)
+        losses.append(loss)
+    return model, trainer, params, opt_state, losses
+
+
+def test_neg_sampling_training_descends(data):
+    _, _, params, _, losses = _train(data, neg_sample_size=10)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    for p in jax.tree.leaves(params):
+        assert np.isfinite(np.asarray(p)).all()
+
+
+def test_double_neg_training(data):
+    _, _, _, _, losses = _train(data, neg_sample_size=10, double_neg=True)
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_crossentropy_training_descends(data):
+    _, _, _, _, losses = _train(data, neg_sample_size=0, loss="crossentropy",
+                                smoothing=0.1)
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_bce_training_descends(data):
+    _, _, _, _, losses = _train(data, neg_sample_size=0,
+                                loss="binarycrossentropy", smoothing=0.1)
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_update_steps_accumulation(data):
+    _, _, _, _, losses = _train(data, neg_sample_size=10, update_steps=3)
+    assert np.isfinite(losses).all()
+
+
+@pytest.mark.parametrize("name,rank", [
+    ("RotH", 8), ("AttH", 8), ("RotE", 8), ("ComplEx", 8), ("RotatE", 8),
+    ("TransE", 8), ("MurE", 8), ("RefE", 8), ("AttE", 8), ("CP", 8),
+    ("Fourier", 8), ("RefH", 8), ("AttRH", 8), ("IsoH", 8), ("IFFTH", 6),
+    ("RotLH", 8), ("HyboNet", 8), ("FFTRefH", 5), ("FFTAttH", 5),
+    ("FFTIsoH", 6),
+])
+def test_every_model_trains_one_epoch(data, name, rank):
+    _, _, _, _, losses = _train(data, model_name=name, rank=rank, epochs=1,
+                                neg_sample_size=5)
+    assert np.isfinite(losses).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, data):
+    model, trainer, params, opt_state, _ = _train(data, epochs=1,
+                                                  neg_sample_size=5)
+    save_checkpoint(str(tmp_path), params, opt_state, epoch=1, best_mrr=0.5,
+                    config={"args": {"model": "FFTRotH"}})
+    st = load_checkpoint(str(tmp_path))
+    assert st["epoch"] == 1 and st["best_mrr"] == 0.5
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(st["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed state must be usable by the compiled epoch
+    ex = data.get_examples("train")
+    b, w, _ = epoch_batches(ex, 64, np.random.default_rng(0))
+    trainer.run_epoch(st["params"], st["opt_state"], b, w, jax.random.PRNGKey(1))
+
+
+def test_cli_full_protocol(tmp_path):
+    from complexhyperbolickge_tpu.cli.run import build_parser, train
+    from complexhyperbolickge_tpu.cli.test import test as eval_cli
+
+    args = build_parser().parse_args([
+        "--dataset", "synthetic", "--model", "FFTRotH", "--rank", "5",
+        "--max_epochs", "2", "--valid", "1", "--patience", "2",
+        "--batch_size", "128", "--eval_batch_size", "64",
+        "--neg_sample_size", "10", "--optimizer", "Adam",
+        "--learning_rate", "0.01", "--bias", "learn", "--multi_c",
+        "--dtype", "float32", "--save_dir", str(tmp_path),
+    ])
+    out = train(args)
+    assert 0.0 <= out["test"]["MRR"] <= 1.0
+    assert (tmp_path / "state.pkl").exists()
+    assert (tmp_path / "config.json").exists()
+    metrics = eval_cli(str(tmp_path))
+    np.testing.assert_allclose(metrics["MRR"], out["test"]["MRR"], rtol=1e-5)
