@@ -1,0 +1,79 @@
+"""Headline benchmark: FFTRotH training throughput (triples/sec) on one chip.
+
+Workload = the reference's published best WN18RR config shape
+(/root/reference/README.md:54): rank 33, batch 500, neg_sample_size 100,
+Adam, multi_c, bias=learn, at WN18RR scale (40,943 entities / 22 relations
+with inverses / 173,670 train triples after inverse augmentation).  Triples
+are synthetic at identical shapes — throughput is shape-dependent only.
+
+Baseline: the reference PyTorch implementation on CPU (its precision of
+record, float64) measured in this container at 1838 triples/s
+(f32: 4100 triples/s).  vs_baseline is the speedup over the f64 figure.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_CPU_TRIPLES_PER_SEC_F64 = 1837.6  # measured: reference FFTRotH, torch 2.13 CPU
+N_ENT, N_REL_RAW, RANK, BATCH, NEG = 40943, 11, 33, 500, 100
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from complexhyperbolickge_tpu.data.dataset import epoch_batches
+    from complexhyperbolickge_tpu.models import ModelConfig, get_model
+    from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
+
+    n_rel = 2 * N_REL_RAW
+    n_train = 2 * 86835  # WN18RR train after inverse augmentation
+    cfg = ModelConfig(n_entities=N_ENT, n_relations=n_rel, rank=RANK,
+                      multi_c=True, bias="learn", dtype="float32")
+    model = get_model("FFTRotH")(cfg)
+    tcfg = TrainConfig(optimizer="Adam", learning_rate=3e-4, batch_size=BATCH,
+                       neg_sample_size=NEG, regularizer="N3", reg=0.0)
+    trainer = Trainer(model, tcfg, N_ENT, n_rel)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    ex = np.stack(
+        [rng.integers(0, N_ENT, n_train), rng.integers(0, n_rel, n_train),
+         rng.integers(0, N_ENT, n_train)], axis=1,
+    ).astype(np.int32)
+    batches, weights, _ = epoch_batches(ex, BATCH, rng)
+    b = jnp.asarray(batches)
+    w = jnp.asarray(weights)
+
+    # epoch 1 compiles; epochs 2+ measure steady state
+    key = jax.random.PRNGKey(1)
+    key, k0 = jax.random.split(key)
+    params, opt_state, loss = trainer.run_epoch(params, opt_state, b, w, k0)
+    assert np.isfinite(loss)
+
+    n_epochs = 3
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = trainer.run_epoch(params, opt_state, b, w, k)
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
+
+    tps = n_epochs * n_train / dt
+    print(json.dumps({
+        "metric": "fftroth_train_throughput_wn18rr_b500_neg100_rank33",
+        "value": round(tps, 1),
+        "unit": "triples/sec",
+        "vs_baseline": round(tps / REF_CPU_TRIPLES_PER_SEC_F64, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

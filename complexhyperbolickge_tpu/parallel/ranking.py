@@ -1,0 +1,101 @@
+"""Entity-sharded filtered ranking with explicit collectives.
+
+This is the 'long axis' of the workload (SURVEY §5.7): at eval time every
+query is scored against ALL entities (up to 123k for YAGO3-10).  Under
+shard_map each device holds a row-shard of the entity table, scores the
+query block against its local candidates (one local MXU matmul via
+model.sim), applies its slice of the filter mask, and contributes a local
+count to
+
+    rank = 1 + psum_over_model_axis(#{local scores >= target})
+
+— an exact, communication-light parallel ranking: the collectives are a
+psum-gather of the B query-head rows, one psum of the gold-tail score, and
+one psum of a (B,) count vector.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+def _gather_rows_sharded(local_table, ids, lo, shard_n, axis_name="model"):
+    """Gather global rows from a row-sharded table: each shard contributes the
+    rows it owns, combined with one psum."""
+    local = ids - lo
+    owns = (local >= 0) & (local < shard_n)
+    safe = jnp.clip(local, 0, shard_n - 1)
+    rows = local_table[safe]
+    rows = jnp.where(owns[..., None], rows, jnp.zeros_like(rows))
+    return jax.lax.psum(rows, axis_name=axis_name)
+
+
+def make_sharded_ranker(model, mesh, n_entities: int):
+    """Compiled shard_map ranking: (params, q, fidx) -> float ranks (B,).
+
+    entity/bh/bt arrive row-sharded over 'model'; q and fidx replicated.
+    n_entities must divide by the 'model' axis size.
+    """
+    n_shards = mesh.shape["model"]
+    assert n_entities % n_shards == 0, (
+        f"n_entities={n_entities} not divisible by model axis {n_shards}"
+    )
+    shard_n = n_entities // n_shards
+
+    def local_rank(params, q, fidx):
+        shard_idx = jax.lax.axis_index("model")
+        lo = shard_idx * shard_n
+        b = q.shape[0]
+
+        # psum-gather the query heads' rows, then run get_queries against a
+        # dense (B, D) mini-table so model code is unchanged.
+        heads = _gather_rows_sharded(params["entity"], q[:, 0], lo, shard_n)
+        bh = _gather_rows_sharded(params["bh"], q[:, 0], lo, shard_n)
+        q_local = jnp.stack([jnp.arange(b, dtype=q.dtype), q[:, 1]], axis=1)
+        lhs, lhs_b = model.get_queries(
+            {**params, "entity": heads, "bh": bh}, q_local
+        )
+
+        s = model.sim(lhs, params["entity"], all_pairs=True)  # (B, shard_n)
+        if model.cfg.bias == "learn":
+            s = lhs_b + params["bt"][None, :, 0] + s
+        elif model.cfg.bias == "constant":
+            s = s + model.cfg.gamma
+
+        # gold-tail score: only the owning shard contributes
+        t_local = q[:, 2] - lo
+        owns = (t_local >= 0) & (t_local < shard_n)
+        t_safe = jnp.clip(t_local, 0, shard_n - 1)
+        target_local = jnp.take_along_axis(s, t_safe[:, None], axis=1)[:, 0]
+        target = jax.lax.psum(
+            jnp.where(owns, target_local, jnp.zeros_like(target_local)),
+            axis_name="model",
+        )
+
+        # filter mask in local coordinates; ids owned by other shards are
+        # remapped to shard_n (positive out-of-bounds -> dropped).  NB: a
+        # plain `fidx - lo` would produce NEGATIVE locals for lower shards,
+        # which .at[] WRAPS rather than drops.
+        rows = jnp.arange(b)[:, None]
+        f = fidx.astype(jnp.int32)
+        f_local = jnp.where((f >= lo) & (f < lo + shard_n), f - lo, shard_n)
+        s = s.at[rows, f_local].set(-1e6, mode="drop")
+
+        count = jnp.sum(s >= target[:, None], axis=1).astype(jnp.float32)
+        return 1.0 + jax.lax.psum(count, axis_name="model")
+
+    in_specs = (
+        {
+            name: (P("model", None) if name in ("entity", "bh", "bt") else P())
+            for name in model.param_specs()
+        },
+        P(),
+        P(),
+    )
+    fn = jax.shard_map(
+        local_rank, mesh=mesh, in_specs=in_specs, out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
