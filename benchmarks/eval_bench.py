@@ -1,0 +1,65 @@
+"""Eval-path benchmark: XLA dense ranker vs fused Pallas ranker (real chip).
+
+Workload: WN18RR-scale filtered ranking (40,943 entities, rank 33, batch 500)
+with realistic padded-filter lengths.  Reports queries/sec for both paths and
+validates they agree exactly.
+"""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from complexhyperbolickge_tpu.kernels import make_pallas_ranker
+from complexhyperbolickge_tpu.models import ModelConfig, get_model
+from complexhyperbolickge_tpu.train.evaluate import make_ranker
+
+N_ENT, N_REL, RANK, B, LMAX = 40943, 22, 33, 500, 64
+
+
+def main():
+    cfg = ModelConfig(n_entities=N_ENT, n_relations=N_REL, rank=RANK,
+                      multi_c=True, bias="learn", dtype="float32")
+    model = get_model("FFTRotH")(cfg)
+    rng = np.random.default_rng(0)
+    params = {
+        k: jnp.asarray(rng.normal(0, 0.1, size=shape), dtype=jnp.float32)
+        for k, (shape, _) in model.param_specs().items()
+    }
+    params["c"] = jnp.abs(params["c"]) + 0.5
+
+    q = np.stack([rng.integers(0, N_ENT, B), rng.integers(0, N_REL, B),
+                  rng.integers(0, N_ENT, B)], 1).astype(np.int32)
+    fidx = rng.integers(0, N_ENT, (B, LMAX)).astype(np.int32)
+    fidx[:, -1] = q[:, 2]  # gold always filtered
+    jq, jf = jnp.asarray(q), jnp.asarray(fidx)
+
+    dense = make_ranker(model, B)
+    pallas = make_pallas_ranker(model, B)
+
+    r1 = np.asarray(dense(params, jq, jf))
+    r2 = np.asarray(pallas(params, jq, jf))
+    rel = np.abs(r1 - r2) / np.maximum(r1, 1)
+    print(f"identical ranks: {int((r1 == r2).sum())}/{B}; "
+          f"max rel diff {rel.max():.2e} (MXU accumulation-order ties); "
+          f"MRR delta {abs(np.mean(1 / r1) - np.mean(1 / r2)):.2e}")
+    assert rel.max() < 1e-3
+
+    def bench(fn, n=20):
+        fn(params, jq, jf)  # warm
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(params, jq, jf)
+        jax.block_until_ready(out)
+        return n * B / (time.perf_counter() - t0)
+
+    d_qps = bench(dense)
+    p_qps = bench(pallas)
+    print(f"XLA dense ranker:  {d_qps:,.0f} queries/s")
+    print(f"Pallas fused:      {p_qps:,.0f} queries/s  ({p_qps / d_qps:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()

@@ -218,7 +218,7 @@ def dot_train(x, y):
 
 def dot_all(x, y):
     """(B, d) vs (N, d) -> (B, N) inner products as one MXU matmul."""
-    return jnp.matmul(x, y.T, preferred_element_type=x.dtype)
+    return jnp.matmul(x, y.T, preferred_element_type=x.dtype, precision="highest")
 
 
 def sq_norms(v, axis=-1):

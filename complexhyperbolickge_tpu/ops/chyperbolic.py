@@ -134,8 +134,8 @@ def chyp_distance_all(lhs, rhs):
     TPU-native form of the reference's (B,1,d)x(1,N,d) broadcast eval.
     """
     eps = ball_eps(lhs.dtype)
-    sr = jnp.matmul(lhs, rhs.T, preferred_element_type=lhs.dtype) - 1.0
-    si = jnp.matmul(swap_neg(lhs), rhs.T, preferred_element_type=lhs.dtype)
+    sr = jnp.matmul(lhs, rhs.T, preferred_element_type=lhs.dtype, precision="highest") - 1.0
+    si = jnp.matmul(swap_neg(lhs), rhs.T, preferred_element_type=lhs.dtype, precision="highest")
     znorm = hermitian_sqnorm_lifted(lhs)[:, None]  # (B, 1)
     wnorm = hermitian_sqnorm_lifted(rhs)[None, :]  # (1, N)
     x = _chyp_x(sr, si, znorm, wnorm, eps)

@@ -75,10 +75,10 @@ def irfft_packed_mm(v, n=None):
     if n is None:
         n = 2 * (r - 1)
     m = irfft_matrix(r, n, dtype=v.dtype)
-    return jnp.matmul(v, m, preferred_element_type=v.dtype)
+    return jnp.matmul(v, m, preferred_element_type=v.dtype, precision="highest")
 
 
 def rfft_packed_mm(x):
     """Matmul form of rfft_packed."""
     m = rfft_matrix(x.shape[-1], dtype=x.dtype)
-    return jnp.matmul(x, m, preferred_element_type=x.dtype)
+    return jnp.matmul(x, m, preferred_element_type=x.dtype, precision="highest")

@@ -119,7 +119,7 @@ def hyp_distance_multi_c_all(x, v, c):
     """
     vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)  # (N, 1)
     vdir = v / vnorm
-    xv = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype)  # (B, N)
+    xv = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype, precision="highest")  # (B, N)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (B, 1)
     return _hyp_dist_multi_c_from_parts(x2, xv, vnorm[:, 0][None, :], c)
 
@@ -181,7 +181,7 @@ def hyp_distance_multi_c_lorentz_all(x, v, c):
     x0 = jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True) + 1 / c)  # (B, 1)
     v2 = jnp.sum(v**2, axis=-1)[None, :]  # (1, N)
     v0 = jnp.sqrt(v2 + 1 / c)  # (B, N)
-    xv = jnp.matmul(x, v.T, preferred_element_type=x.dtype)  # (B, N)
+    xv = jnp.matmul(x, v.T, preferred_element_type=x.dtype, precision="highest")  # (B, N)
     res = xv - x0 * v0
     return arcosh(-c * res) / (c**0.5)
 
@@ -201,7 +201,7 @@ def hyp_sim_expmap_all(x, v, c):
     """hyp_distance_multi_c(x, expmap0(v, c), c) in folded all-pairs form."""
     un = safe_norm(v)  # (N, 1), clamped like expmap0's u_norm
     vdir = v / un
-    xv = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype)  # (B, N)
+    xv = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype, precision="highest")  # (B, N)
     sqrt_c = c**0.5  # (B, 1)
     eps = ball_eps(v.dtype)
     m = tanh(sqrt_c * un[:, 0][None, :]) / sqrt_c  # (B, N) radius after expmap0
@@ -214,7 +214,7 @@ def lorentz_sim_expmap_all(x, v, c):
     """hyp_distance_multi_c_lorentz(x, expmap0_lorentz(v, c), c), folded."""
     un = safe_norm(v)  # (N, 1)
     vdir = v / un
-    xdir = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype)  # (B, N)
+    xdir = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype, precision="highest")  # (B, N)
     sqrt_c = c**0.5
     alpha = sqrt_c * un[:, 0][None, :]  # (B, N)
     s = jnp.sinh(alpha) / alpha * un[:, 0][None, :]  # radius after expmap0_lorentz
