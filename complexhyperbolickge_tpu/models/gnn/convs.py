@@ -1,0 +1,328 @@
+"""Graph convolution layers: CompGCN, Poincare, Lorentz.
+
+Pure-functional re-designs of the reference convs
+(models/euclideangnn.py:16-108, models/hyperbolicgnn/poincaregnn.py:19-294,
+models/hyperbolicgnn/lorentzgnn.py:18-232).  Each conv is a (param_specs,
+apply) pair; parameters live in a nested dict pytree; all aggregation uses
+static-shape segment sums over the [forward; inverse] edge layout, with
+edge dropout as a 0/1 weight mask (see message.py).
+
+Reference quirks handled:
+  * LorentzConv.forward returns a 3-tuple the reference's own layer stack
+    cannot unpack (lorentzgnn.py:79 vs messagepassing.py:210 — LorentzGCN
+    with >1 layer crashes at HEAD); here every conv returns
+    (x, (rel, curvature)) uniformly.
+  * PoincareConv applies one Mobius bias-add with the UN-softplused
+    curvature (poincaregnn.py:77, `curvatures_out` vs `curvatures_out_`);
+    we use the softplused curvature for both rel1 and rel2 (a negative
+    curvature would NaN in sqrt) — divergence documented.
+  * LorentzConv swaps in_type/out_type in its messages (lorentzgnn.py:96-101
+    passes out_type for the 'in' edges); replicated exactly since the
+    [forward; inverse] layouts are aligned.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from complexhyperbolickge_tpu.models.gnn import message as M
+from complexhyperbolickge_tpu.ops import hyperbolic as H
+from complexhyperbolickge_tpu.ops.euclidean import givens_rotations
+
+
+def _xavier(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[-2], shape[-1]
+    std = math.sqrt(2.0 / (fan_in + fan_out))
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def _kaiming(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype) * math.sqrt(2.0 / shape[0])
+
+
+def init_linear(key, d_in, d_out, bias=True, kind="xavier"):
+    k1, _ = jax.random.split(key)
+    w = _xavier(k1, (d_in, d_out)) if kind == "xavier" else _kaiming(k1, (d_in, d_out))
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((d_out,))
+    return p
+
+
+def apply_linear(p, x):
+    y = x @ p["w"]
+    return y + p["b"] if "b" in p else y
+
+
+def init_mlp(key, d_in, d_hidden, d_out, num_layers=2):
+    """reference models/mlp.py:4-21 (kaiming init, relu between layers)."""
+    dims = [d_in] + [d_hidden] * (num_layers - 1) + [d_out]
+    keys = jax.random.split(key, num_layers)
+    return [
+        {"w": _kaiming(k, (dims[i], dims[i + 1])), "b": jnp.zeros((dims[i + 1],))}
+        for i, k in enumerate(keys)
+    ]
+
+
+def apply_mlp(layers, x):
+    for i, p in enumerate(layers):
+        x = x @ p["w"] + p["b"]
+        if i < len(layers) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+# -------------------------------- CompGCN ------------------------------------
+
+
+class CompGCNConv:
+    """Composition GCN layer (reference euclideangnn.py:16-101).
+
+    message = composition(x_tail, rel) @ W_dir for dir in {in, out, loop};
+    aggregation = 1/3 each of degree-normalized in/out sums + self loop;
+    then batch-norm (batch statistics) and activation; rel' = rel @ W_rel.
+    """
+
+    def __init__(self, d_in, d_out, d_in_r, d_out_r, act, dropout=0.0,
+                 opn="mult"):
+        self.d_in, self.d_out = d_in, d_out
+        self.d_in_r, self.d_out_r = d_in_r, d_out_r
+        self.act, self.dropout, self.opn = act, dropout, opn
+
+    def init(self, key):
+        ks = jax.random.split(key, 6)
+        return {
+            "w_loop": _xavier(ks[0], (self.d_in, self.d_out)),
+            "w_in": _xavier(ks[1], (self.d_in, self.d_out)),
+            "w_out": _xavier(ks[2], (self.d_in, self.d_out)),
+            "w_rel": _xavier(ks[3], (self.d_in_r, self.d_out_r)),
+            "loop_rel": jax.random.normal(ks[4], (1, self.d_in)),
+            "bn_scale": jnp.ones((self.d_out,)),
+            "bn_bias": jnp.zeros((self.d_out,)),
+        }
+
+    def _compose(self, x, r):
+        return x - r if self.opn == "add" else x * r
+
+    def apply(self, p, x, edges, rel_pack, edge_w, key=None):
+        rel = rel_pack
+        head, tail, etype = edges
+        n_ent, e = x.shape[0], head.shape[0]
+        half = e // 2  # [forward; inverse] layout
+
+        def direction(sl, w):
+            r = rel[etype[sl]]
+            msg = self._compose(x[tail[sl]], r) @ w
+            norm = M.compute_norm(head[sl], edge_w[sl], n_ent)
+            return M.segment_sum(norm[:, None] * msg, head[sl], n_ent)
+
+        agg_in = direction(slice(0, half), p["w_in"])
+        agg_out = direction(slice(half, e), p["w_out"])
+        loop = self._compose(x, p["loop_rel"]) @ p["w_loop"]
+        if key is not None and self.dropout > 0:
+            k1, k2 = jax.random.split(key)
+            agg_in = M.dropout(k1, agg_in, self.dropout)
+            agg_out = M.dropout(k2, agg_out, self.dropout)
+        out = (agg_in + agg_out + loop) / 3.0
+
+        # batch-norm over nodes (batch statistics; reference uses
+        # nn.BatchNorm1d, euclideangnn.py:27,37)
+        mean = jnp.mean(out, axis=0, keepdims=True)
+        var = jnp.var(out, axis=0, keepdims=True)
+        out = (out - mean) / jnp.sqrt(var + 1e-5) * p["bn_scale"] + p["bn_bias"]
+        if self.act is not None:
+            out = self.act(out)
+        return out, rel @ p["w_rel"]
+
+    def regularizable(self, p):
+        return [p["w_loop"], p["w_in"], p["w_out"], p["w_rel"]]
+
+
+# ------------------------------ PoincareConv ---------------------------------
+
+
+class PoincareConv:
+    """Poincare-ball conv (reference poincaregnn.py:19-294, method-1
+    aggregation): RotH-style relation transform per edge in the tangent
+    space, symmetric-normalized tangent aggregation, gyro-midpoint mixing
+    with the self-loop message, relation/curvature update by learned MLPs."""
+
+    def __init__(self, d_in, d_out, d_in_r, d_out_r, act, dropout=0.0):
+        self.d_in, self.d_out = d_in, d_out
+        self.d_in_r, self.d_out_r = d_in_r, d_out_r
+        self.act, self.dropout = act, dropout
+
+    def init(self, key):
+        ks = jax.random.split(key, 8)
+        return {
+            "w_loop": _xavier(ks[0], (self.d_in, self.d_out)),
+            "w_in": _xavier(ks[1], (self.d_in, self.d_out)),
+            "w_out": _xavier(ks[2], (self.d_in, self.d_out)),
+            "b_loop": jnp.zeros((1, self.d_out)),
+            "b_in": jnp.zeros((1, self.d_out)),
+            "b_out": jnp.zeros((1, self.d_out)),
+            "w_rel": init_linear(ks[3], 3 * self.d_in + 1, 3 * self.d_out),
+            "b_rel1": jnp.zeros((1, self.d_out)),
+            "b_rel2": jnp.zeros((1, self.d_out)),
+            "loop_curvature": jnp.ones((1,)),
+            "loop_weight": jnp.zeros((1,)),
+            "mlp_curvature": init_mlp(ks[4], 3 * self.d_in + 1, 3 * self.d_in, 1),
+        }
+
+    # ---- manifold pieces (Poincare) ----
+
+    def _rel_transform(self, ent, rel_emb, c):
+        """RotH-style inverse isometry (poincaregnn.py:243-264)."""
+        rel1, rel2, rot = jnp.split(rel_emb, 3, axis=-1)
+        lhs = H.expmap0(ent, c)
+        rel1 = H.expmap0(rel1, c)
+        rel2 = H.expmap0(rel2, c)
+        lhs = H.project(H.mobius_add(-rel2, lhs, c), c)
+        lhs = givens_rotations(rot, lhs, inverse=True)
+        lhs = H.mobius_add(-rel1, lhs, c)
+        return H.logmap0(lhs, c)
+
+    def _message(self, p, x_j, etype, rel, curv, mode):
+        lc = jax.nn.softplus(p["loop_curvature"])
+        xj = x_j @ p["w_" + mode]
+        xj = H.expmap0(xj, lc)
+        bias = H.expmap0(p["b_" + mode], lc)
+        xj = H.project(H.mobius_add(xj, bias, lc), lc)
+        xj = H.logmap0(xj, lc)
+        if mode != "loop":
+            xj = self._rel_transform(xj, rel[etype], curv[etype])
+        return xj
+
+    def apply(self, p, x, edges, rel_pack, edge_w, key=None):
+        rel, curv_raw = rel_pack  # (Nr, >=3*d_in), (Nr, 1) un-softplused
+        head, tail, etype = edges
+        n_ent = x.shape[0]
+
+        # relation + curvature update (poincaregnn.py:59-81)
+        trc = jnp.concatenate([rel[..., : 3 * self.d_in], curv_raw], axis=-1)
+        out_rel = apply_linear(p["w_rel"], trc)
+        c_out_raw = apply_mlp(p["mlp_curvature"], trc)
+        c_out = jax.nn.softplus(c_out_raw)
+        rel1, rel2, rot = jnp.split(out_rel, 3, axis=-1)
+        rel1 = H.mobius_add(H.expmap0(rel1, c_out), H.expmap0(p["b_rel1"], c_out), c_out)
+        rel2 = H.mobius_add(H.expmap0(rel2, c_out), H.expmap0(p["b_rel2"], c_out), c_out)
+        rel1 = H.logmap0(rel1, c_out)
+        rel2 = H.logmap0(rel2, c_out)
+        out_rel = jnp.concatenate([rel1, rel2, rot], axis=-1)
+
+        out = self._propagate(p, x, (head, tail, etype), out_rel, c_out, edge_w)
+        if self.act is not None:
+            out = self.act(out)
+        if key is not None and self.dropout > 0:
+            k1, k2 = jax.random.split(key)
+            out = M.dropout(k1, out, self.dropout)
+            out_rel = M.dropout(k2, out_rel, self.dropout)
+        return out, (out_rel, c_out_raw)
+
+    def _propagate(self, p, x, edges, rel, curv, edge_w):
+        """Method-1 tangent aggregation + gyro-midpoint self-loop mixing
+        (poincaregnn.py:141-191)."""
+        head, tail, etype = edges
+        n_ent, e = x.shape[0], head.shape[0]
+        half = e // 2
+        lc = jax.nn.softplus(p["loop_curvature"])
+
+        msg_in = self._message(p, x[tail[:half]], etype[:half], rel, curv, "in")
+        msg_out = self._message(p, x[tail[half:]], etype[half:], rel, curv, "out")
+        msg_loop = self._message(p, x, None, None, None, "loop")
+
+        msgs = jnp.concatenate([msg_in, msg_out], axis=0)
+        norm = M.compute_symmetric_norm(head, tail, edge_w, n_ent)
+        agg = M.segment_sum(norm[:, None] * msgs, head, n_ent)
+        degs = M.segment_sum(edge_w, head, n_ent)
+
+        # gyro-barycenter of (aggregate, self-loop) with learned weight
+        lw = jax.nn.sigmoid(p["loop_weight"])
+        hb = H.expmap0(agg, lc)
+        hl = H.expmap0(msg_loop, lc)
+        gamma_rel = 2.0 / (1.0 - lc * jnp.sum(hb * hb, axis=-1, keepdims=True))
+        gamma_loop = 2.0 / (1.0 - lc * jnp.sum(hl * hl, axis=-1, keepdims=True))
+        den = (1 - lw) * (gamma_rel - 1) + lw * (gamma_loop - 1)
+        m = ((1 - lw) * gamma_rel / den) * hb + (lw * gamma_loop / den) * hl
+        factor = 1.0 / (
+            1.0 + jnp.sqrt(1.0 - lc * jnp.sum(m * m, axis=-1, keepdims=True))
+        )
+        mixed = H.logmap0(factor * m, lc)
+        return jnp.where(degs[:, None] > 0, mixed, msg_loop)
+
+    def regularizable(self, p):
+        return [p["w_loop"], p["w_in"], p["w_out"], p["w_rel"]["w"]]
+
+
+# ------------------------------- LorentzConv ---------------------------------
+
+
+class LorentzConv(PoincareConv):
+    """Hyperboloid conv (reference lorentzgnn.py:18-232): boost-based
+    relation transform, 1/deg tangent aggregation, Lorentz-centroid mixing
+    with the self-loop message."""
+
+    def _rel_transform(self, ent, rel_emb, c):
+        """Boost-rotate-boost (lorentzgnn.py:181-205)."""
+        rel1, rel2, rot = jnp.split(rel_emb, 3, axis=-1)
+        lhs = H.expmap0_lorentz(ent, c)
+        lhs = H.lorentz_boost(lhs, rel1, c)
+        lhs = givens_rotations(rot, lhs)
+        lhs = H.lorentz_boost(lhs, rel2, c)
+        return H.logmap0_lorentz(lhs, c)
+
+    def _message(self, p, x_j, etype, rel, curv, mode):
+        lc = jax.nn.softplus(p["loop_curvature"])
+        xj = x_j @ p["w_" + mode]
+        xj = H.expmap0_lorentz(xj, lc)
+        xj = H.lorentz_boost(xj, p["b_" + mode], lc)
+        xj = H.logmap0_lorentz(xj, lc)
+        if mode != "loop":
+            xj = self._rel_transform(xj, rel[etype], curv[etype])
+        return xj
+
+    def apply(self, p, x, edges, rel_pack, edge_w, key=None):
+        rel, curv_raw = rel_pack
+        trc = jnp.concatenate([rel[..., : 3 * self.d_in], curv_raw], axis=-1)
+        out_rel = apply_linear(p["w_rel"], trc)  # no b_rel Mobius adds
+        c_out_raw = apply_mlp(p["mlp_curvature"], trc)
+        c_out = jax.nn.softplus(c_out_raw)
+
+        out = self._propagate(p, x, edges, out_rel, c_out, edge_w)
+        if self.act is not None:
+            out = self.act(out)
+        if key is not None and self.dropout > 0:
+            k1, k2 = jax.random.split(key)
+            out = M.dropout(k1, out, self.dropout)
+            out_rel = M.dropout(k2, out_rel, self.dropout)
+        return out, (out_rel, c_out_raw)
+
+    def _propagate(self, p, x, edges, rel, curv, edge_w):
+        """Lorentz method-1 (lorentzgnn.py:117-143).  NB the reference swaps
+        in/out edge types in the messages (lorentzgnn.py:96-101) — kept."""
+        head, tail, etype = edges
+        n_ent, e = x.shape[0], head.shape[0]
+        half = e // 2
+        lc = jax.nn.softplus(p["loop_curvature"])
+
+        msg_in = self._message(p, x[tail[:half]], etype[half:], rel, curv, "in")
+        msg_out = self._message(p, x[tail[half:]], etype[:half], rel, curv, "out")
+        msg_loop = self._message(p, x, None, None, None, "loop")
+
+        msgs = jnp.concatenate([msg_in, msg_out], axis=0)
+        norm = M.compute_norm(head, edge_w, n_ent)
+        agg = M.segment_sum(norm[:, None] * msgs, head, n_ent)
+
+        lw = jax.nn.sigmoid(p["loop_weight"])
+        hb = H.explicit_lorentz(H.expmap0_lorentz(agg, lc), lc)
+        hl = H.explicit_lorentz(H.expmap0_lorentz(msg_loop, lc), lc)
+        mix = (1 - lw) * hb + lw * hl
+        mix_l = -mix[..., :1] ** 2 + jnp.sum(mix[..., 1:] ** 2, axis=-1,
+                                             keepdims=True)
+        mix_l = (1.0 / jnp.sqrt(lc)) * jnp.sqrt(jnp.abs(mix_l)) + 1e-6
+        out = (mix / mix_l)[..., 1:]
+        return H.logmap0_lorentz(out, lc)

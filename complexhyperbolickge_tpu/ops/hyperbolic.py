@@ -154,8 +154,10 @@ def lorentz_boost(y, v, c):
     Reference: utils/hyperbolic.py:138-164 (gamma clamped <= 15, velocity
     tanh-normalized to stay below the speed of light).
     """
-    norm_v = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    v = tanh(norm_v) * v / jnp.maximum(norm_v, 1e-12)
+    # squared-norm clamp keeps the gradient at v == 0 finite (torch
+    # F.normalize's eps clamp has a zero subgradient there)
+    norm_v = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-24))
+    v = tanh(norm_v) * v / norm_v
     y0 = jnp.sqrt(jnp.sum(y**2, axis=-1, keepdims=True) + 1 / c)
     g = jnp.sum(v**2, axis=-1, keepdims=True)
     gamma = jnp.minimum(1 / jnp.sqrt(1 - g), 15.0)
@@ -208,6 +210,33 @@ def hyp_sim_expmap_all(x, v, c):
     m = jnp.minimum(m, (1 - eps) / sqrt_c)  # project() clip
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     return _hyp_dist_multi_c_from_parts(x2, xv, m, c)
+
+
+def hyp_plain_sim_expmap_all(x, v, c):
+    """hyp_distance(x, expmap0(v, c), c) in folded all-pairs form.
+
+    The PLAIN Poincare distance (reference utils/hyperbolic.py:170-191, used
+    by the single-curvature PoincareGCN decoder, poincaregnn.py:548) treats
+    its second argument as a ball point, so expmap0 is folded once (not
+    twice like the multi_c form).  x (B, d), v (N, d), c (1, 1) -> (B, N).
+    """
+    sqrt_c = c**0.5
+    un = safe_norm(v)  # (N, 1)
+    vdir = v / un
+    xv_dir = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype,
+                        precision="highest")  # (B, N)
+    eps = ball_eps(v.dtype)
+    m = tanh(sqrt_c * un[:, 0][None, :]) / sqrt_c  # (1->B, N) ball radius
+    m = jnp.minimum(m, (1 - eps) / sqrt_c)  # project() clip
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (B, 1)
+    y2 = m**2
+    xy = m * xv_dir
+    c1 = 1 - 2 * c * xy + c * y2
+    c2 = 1 - c * x2
+    num = jnp.sqrt((c1**2) * x2 + (c2**2) * y2 - (2 * c1 * c2) * xy)
+    denom = 1 - 2 * c * xy + c**2 * x2 * y2
+    pairwise_norm = num / jnp.maximum(denom, MIN_NORM)
+    return 2 * artanh(sqrt_c * pairwise_norm) / sqrt_c
 
 
 def lorentz_sim_expmap_all(x, v, c):

@@ -69,5 +69,11 @@ def clamp_min(x, lo):
 
 
 def safe_norm(x, axis=-1, keepdims=True):
-    """L2 norm clamped below by MIN_NORM, matching `.norm().clamp_min(MIN_NORM)`."""
-    return jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=keepdims), MIN_NORM)
+    """L2 norm clamped below by MIN_NORM, matching `.norm().clamp_min(MIN_NORM)`.
+
+    Clamps the SQUARED norm before the sqrt so the gradient at x == 0 is 0
+    (torch's norm has a zero subgradient at the origin; jnp.linalg.norm would
+    propagate NaN through 0/0 — the GNN convs' zero-initialized biases hit
+    this through expmap0)."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, MIN_NORM * MIN_NORM))

@@ -77,30 +77,43 @@ class Trainer:
 
     def _loss(self, params, batch, weights, labels, key):
         cfg = self.cfg
+        model = self.model
+        is_gnn = getattr(model, "is_gnn", False)
+        if is_gnn:
+            # run the full-graph encoder ONCE per step (with edge/feature
+            # dropout when training) and bind its cache for all scoring
+            key, enc_key = jax.random.split(key)
+            cache = model.encode(params, key=enc_key, training=True)
+            from complexhyperbolickge_tpu.models.gnn.models import BoundGNN
+
+            model = BoundGNN(model, cache)
         if cfg.neg_sample_size > 0:
             loss, factors = L.neg_sampling_loss(
-                self.model, params, batch, weights, key, self.n_entities,
+                model, params, batch, weights, key, self.n_entities,
                 cfg.neg_sample_size, cfg.double_neg, self.n_relations,
             )
         elif cfg.loss == "crossentropy":
             loss, factors = L.cross_entropy_loss(
-                self.model, params, batch, weights, cfg.smoothing
+                model, params, batch, weights, cfg.smoothing
             )
         elif cfg.loss == "binarycrossentropy":
             if labels is not None:
                 loss, factors = L.bce_loss(
-                    self.model, params, batch, weights, labels,
+                    model, params, batch, weights, labels,
                     self.n_entities, cfg.smoothing,
                 )
             else:
                 loss, factors = L.signed_logsigmoid_ce_loss(
-                    self.model, params, batch, weights
+                    model, params, batch, weights
                 )
         else:
             raise ValueError(f"unknown loss {cfg.loss!r}")
-        loss = loss + self.reg_fn(
-            factors, cfg.reg, jnp.sum(weights), weights
-        )
+        if is_gnn:
+            # GNN factors are encoder weight matrices; the reference
+            # normalizes by factors[0].shape[0] (regularizers.py:29,57)
+            loss = loss + self.reg_fn(factors, cfg.reg, factors[0].shape[0])
+        else:
+            loss = loss + self.reg_fn(factors, cfg.reg, jnp.sum(weights), weights)
         return loss
 
     # ----------------------------- compiled epoch ----------------------------

@@ -1,0 +1,156 @@
+"""GNN encoder-decoder tests.
+
+The reference GNN path cannot execute in this image (torch_scatter /
+torch_geometric absent — reference models/__init__.py:5-7), so these tests
+validate the degree-norm formulas against independent numpy implementations
+of the reference math (messagepassing.py:80-108) and exercise full
+training/eval behaviorally for all three GNN models.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from complexhyperbolickge_tpu.data.dataset import epoch_batches, synthetic_kg
+from complexhyperbolickge_tpu.models import ModelConfig, get_model
+from complexhyperbolickge_tpu.models.gnn import message as M
+from complexhyperbolickge_tpu.train.evaluate import avg_both, compute_metrics
+from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
+
+
+class _Args:
+    hidden_dim = 8
+    layers = 2
+    edge_dropout = 0.2
+    dropout = 0.1
+    opn = "mult"
+    interaction = "distmult"
+    basis = 0
+
+
+@pytest.fixture(scope="module")
+def data():
+    return synthetic_kg(n_entities=40, n_relations=4, n_train=300, n_valid=40,
+                        n_test=40, seed=5)
+
+
+def _build(data, name, **args_over):
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, dtype="float32")
+    args = _Args()
+    for k, v in args_over.items():
+        setattr(args, k, v)
+    model = get_model(name)(cfg, args, data)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+# ------------------------------ norm formulas --------------------------------
+
+
+def test_compute_norm_matches_reference_formula(rng):
+    e, n = 50, 12
+    head = rng.integers(0, n, e)
+    w = (rng.random(e) > 0.3).astype(np.float64)
+    ours = np.asarray(M.compute_norm(jnp.asarray(head), jnp.asarray(w), n))
+    deg = np.zeros(n)
+    np.add.at(deg, head, w)
+    deg_inv = np.where(deg > 0, 1 / np.where(deg > 0, deg, 1), 0.0)
+    np.testing.assert_allclose(ours, deg_inv[head] * w, atol=1e-12)
+
+
+def test_compute_symmetric_norm_matches_reference_formula(rng):
+    e, n = 50, 12
+    head = rng.integers(0, n, e)
+    tail = rng.integers(0, n, e)
+    w = np.ones(e)
+    ours = np.asarray(M.compute_symmetric_norm(
+        jnp.asarray(head), jnp.asarray(tail), jnp.asarray(w), n))
+    deg = np.zeros(n)
+    np.add.at(deg, head, w)
+    np.add.at(deg, tail, w)
+    deg += 1
+    dinv = deg**-0.5
+    norm = dinv[head] * w * dinv[tail]
+    s = np.zeros(n)
+    np.add.at(s, head, norm)
+    sum_norm = s + 1 / deg
+    np.testing.assert_allclose(ours, norm / sum_norm[head], rtol=1e-6)
+
+
+def test_symmetric_norm_sums_to_deg_fraction():
+    """After normalize_to_1 each node's incoming norms sum to deg/(deg+1)
+    (the remaining 1/(deg+1) mass goes to the self loop)."""
+    head = jnp.asarray([0, 0, 1, 2, 2, 2])
+    tail = jnp.asarray([1, 2, 0, 0, 1, 1])
+    w = jnp.ones(6)
+    norm = M.compute_symmetric_norm(head, tail, w, 4)
+    sums = np.asarray(M.segment_sum(norm, head, 4))
+    degs = np.array([2, 1, 3, 0])
+    np.testing.assert_allclose(sums[:3], degs[:3] / (degs[:3] + 1), rtol=1e-5)
+
+
+# ------------------------------- end-to-end -----------------------------------
+
+
+@pytest.mark.parametrize("name", ["CompGCN", "PoincareGCN", "LorentzGCN"])
+def test_gnn_trains_and_descends(data, name):
+    model, params = _build(data, name)
+    n_ent, n_rel, _ = data.get_shape()
+    tcfg = TrainConfig(learning_rate=0.01, batch_size=64, neg_sample_size=0,
+                       loss="crossentropy", optimizer="Adam")
+    trainer = Trainer(model, tcfg, n_ent, n_rel)
+    opt_state = trainer.tx.init(params)
+    ex = data.get_examples("train")
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(3):
+        b, w, _ = epoch_batches(ex, 64, rng)
+        key, ek = jax.random.split(key)
+        params, opt_state, loss = trainer.run_epoch(params, opt_state, b, w, ek)
+        losses.append(loss)
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0]
+    for p in jax.tree.leaves(params):
+        assert np.isfinite(np.asarray(p)).all()
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("CompGCN", {"interaction": "transe", "opn": "add"}),
+    ("CompGCN", {"basis": 3}),
+    ("PoincareGCN", {"layers": 1}),
+])
+def test_gnn_variants_smoke(data, name, kw):
+    model, params = _build(data, name, **kw)
+    n_ent, n_rel, _ = data.get_shape()
+    tcfg = TrainConfig(learning_rate=0.01, batch_size=64, neg_sample_size=5)
+    trainer = Trainer(model, tcfg, n_ent, n_rel)
+    opt_state = trainer.tx.init(params)
+    b, w, _ = epoch_batches(data.get_examples("train"), 64,
+                            np.random.default_rng(0))
+    _, _, loss = trainer.run_epoch(params, opt_state, b, w, jax.random.PRNGKey(2))
+    assert np.isfinite(loss)
+
+
+@pytest.mark.parametrize("name", ["CompGCN", "PoincareGCN", "LorentzGCN"])
+def test_gnn_eval_metrics(data, name):
+    model, params = _build(data, name)
+    metrics = avg_both(compute_metrics(model, params, data, "test", 32))
+    assert 0.0 < metrics["MRR"] <= 1.0
+    assert metrics["MR"] >= 1.0
+
+
+def test_edge_dropout_changes_encoding(data):
+    model, params = _build(data, "CompGCN")
+    x0, _ = model.encode(params)
+    x1, _ = model.encode(params, key=jax.random.PRNGKey(3), training=True)
+    x2, _ = model.encode(params, key=jax.random.PRNGKey(4), training=True)
+    assert not np.allclose(np.asarray(x0), np.asarray(x1))
+    assert not np.allclose(np.asarray(x1), np.asarray(x2))
+    # eval-mode encode is deterministic
+    x3, _ = model.encode(params)
+    np.testing.assert_array_equal(np.asarray(x0), np.asarray(x3))
