@@ -108,6 +108,45 @@ class CompGCNConv:
     def _compose(self, x, r):
         return x - r if self.opn == "add" else x * r
 
+    def apply_masked(self, p, x, edges, rel_pack, edge_w, dir_w, node_w,
+                     key=None):
+        """Subgraph variant: edges are NOT [forward; inverse]-aligned, so the
+        in/out split is the per-edge direction mask dir_w (1 = forward).
+        node_w masks padded node rows out of the batch-norm statistics."""
+        rel = rel_pack
+        head, tail, etype = edges
+        n_ent = x.shape[0]
+        comp = self._compose(x[tail], rel[etype])
+
+        def direction(w_mat, w_edge):
+            msg = comp @ w_mat
+            norm = M.compute_norm(head, w_edge, n_ent)
+            return M.segment_sum(norm[:, None] * msg, head, n_ent)
+
+        agg_in = direction(p["w_in"], edge_w * dir_w)
+        agg_out = direction(p["w_out"], edge_w * (1.0 - dir_w))
+        loop = self._compose(x, p["loop_rel"]) @ p["w_loop"]
+        if key is not None and self.dropout > 0:
+            k1, k2 = jax.random.split(key)
+            agg_in = M.dropout(k1, agg_in, self.dropout)
+            agg_out = M.dropout(k2, agg_out, self.dropout)
+        out = (agg_in + agg_out + loop) / 3.0
+        out = self._bn(p, out, node_w)
+        if self.act is not None:
+            out = self.act(out)
+        return out, rel @ p["w_rel"]
+
+    def _bn(self, p, out, node_w=None):
+        if node_w is None:
+            mean = jnp.mean(out, axis=0, keepdims=True)
+            var = jnp.var(out, axis=0, keepdims=True)
+        else:
+            w = node_w[:, None]
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(out * w, axis=0, keepdims=True) / n
+            var = jnp.sum(w * (out - mean) ** 2, axis=0, keepdims=True) / n
+        return (out - mean) / jnp.sqrt(var + 1e-5) * p["bn_scale"] + p["bn_bias"]
+
     def apply(self, p, x, edges, rel_pack, edge_w, key=None):
         rel = rel_pack
         head, tail, etype = edges
@@ -131,9 +170,7 @@ class CompGCNConv:
 
         # batch-norm over nodes (batch statistics; reference uses
         # nn.BatchNorm1d, euclideangnn.py:27,37)
-        mean = jnp.mean(out, axis=0, keepdims=True)
-        var = jnp.var(out, axis=0, keepdims=True)
-        out = (out - mean) / jnp.sqrt(var + 1e-5) * p["bn_scale"] + p["bn_bias"]
+        out = self._bn(p, out)
         if self.act is not None:
             out = self.act(out)
         return out, rel @ p["w_rel"]
@@ -236,6 +273,10 @@ class PoincareConv:
         msg_loop = self._message(p, x, None, None, None, "loop")
 
         msgs = jnp.concatenate([msg_in, msg_out], axis=0)
+        return self._aggregate_and_mix(p, msgs, msg_loop, head, tail, edge_w,
+                                       n_ent, lc)
+
+    def _aggregate_and_mix(self, p, msgs, msg_loop, head, tail, edge_w, n_ent, lc):
         norm = M.compute_symmetric_norm(head, tail, edge_w, n_ent)
         agg = M.segment_sum(norm[:, None] * msgs, head, n_ent)
         degs = M.segment_sum(edge_w, head, n_ent)
@@ -253,6 +294,53 @@ class PoincareConv:
         )
         mixed = H.logmap0(factor * m, lc)
         return jnp.where(degs[:, None] > 0, mixed, msg_loop)
+
+    # ------------------------- subgraph (masked) path -------------------------
+
+    def apply_masked(self, p, x, edges, rel_pack, edge_w, dir_w, node_w,
+                     key=None):
+        """Subgraph variant: sampled edges are NOT [forward; inverse]-aligned;
+        dir_w (E,) = 1 for forward edges selects the in/out weights per edge.
+        node_w is unused here (no cross-row statistics in this conv)."""
+        rel, curv_raw = rel_pack
+        head, tail, etype = edges
+        n_ent = x.shape[0]
+        lc = jax.nn.softplus(p["loop_curvature"])
+
+        trc = jnp.concatenate([rel[..., : 3 * self.d_in], curv_raw], axis=-1)
+        out_rel = apply_linear(p["w_rel"], trc)
+        c_out_raw = apply_mlp(p["mlp_curvature"], trc)
+        c_out = jax.nn.softplus(c_out_raw)
+        if type(self) is PoincareConv:
+            rel1, rel2, rot = jnp.split(out_rel, 3, axis=-1)
+            rel1 = H.mobius_add(H.expmap0(rel1, c_out),
+                                H.expmap0(p["b_rel1"], c_out), c_out)
+            rel2 = H.mobius_add(H.expmap0(rel2, c_out),
+                                H.expmap0(p["b_rel2"], c_out), c_out)
+            out_rel = jnp.concatenate(
+                [H.logmap0(rel1, c_out), H.logmap0(rel2, c_out), rot], axis=-1
+            )
+
+        et_in = self._etype_for(etype, dir_w, rel.shape[0], "in")
+        et_out = self._etype_for(etype, dir_w, rel.shape[0], "out")
+        m_in = self._message(p, x[tail], et_in, out_rel, c_out, "in")
+        m_out = self._message(p, x[tail], et_out, out_rel, c_out, "out")
+        msgs = dir_w[:, None] * m_in + (1.0 - dir_w[:, None]) * m_out
+        msg_loop = self._message(p, x, None, None, None, "loop")
+        out = self._aggregate_and_mix(p, msgs, msg_loop, head, tail, edge_w,
+                                      n_ent, lc)
+        if self.act is not None:
+            out = self.act(out)
+        if key is not None and self.dropout > 0:
+            k1, k2 = jax.random.split(key)
+            out = M.dropout(k1, out, self.dropout)
+            out_rel = M.dropout(k2, out_rel, self.dropout)
+        return out, (out_rel, c_out_raw)
+
+    def _etype_for(self, etype, dir_w, n_rel, mode):
+        """Relation-type lookup per direction (PoincareConv uses the true
+        type; LorentzConv overrides with its swapped-type quirk)."""
+        return etype
 
     def regularizable(self, p):
         return [p["w_loop"], p["w_in"], p["w_out"], p["w_rel"]["w"]]
@@ -314,6 +402,10 @@ class LorentzConv(PoincareConv):
         msg_loop = self._message(p, x, None, None, None, "loop")
 
         msgs = jnp.concatenate([msg_in, msg_out], axis=0)
+        return self._aggregate_and_mix(p, msgs, msg_loop, head, tail, edge_w,
+                                       n_ent, lc)
+
+    def _aggregate_and_mix(self, p, msgs, msg_loop, head, tail, edge_w, n_ent, lc):
         norm = M.compute_norm(head, edge_w, n_ent)
         agg = M.segment_sum(norm[:, None] * msgs, head, n_ent)
 
@@ -326,3 +418,12 @@ class LorentzConv(PoincareConv):
         mix_l = (1.0 / jnp.sqrt(lc)) * jnp.sqrt(jnp.abs(mix_l)) + 1e-6
         out = (mix / mix_l)[..., 1:]
         return H.logmap0_lorentz(out, lc)
+
+    def _etype_for(self, etype, dir_w, n_rel, mode):
+        """The reference LorentzConv looks up the OPPOSITE direction's
+        relation type in its messages (lorentzgnn.py:96-101); in the masked
+        layout that is type +/- n_rel/2 per edge."""
+        half = n_rel // 2
+        if mode == "in":  # forward edges processed as 'in' use type + half
+            return jnp.where(dir_w > 0.5, etype + half, etype)
+        return jnp.where(dir_w > 0.5, etype, etype - half)

@@ -121,6 +121,36 @@ class GNNModel(KGModel):
                 rel_pack = self._act_r(rel_pack)
         return self.finish_cache(x, rel_pack)
 
+    def encode_subgraph(self, params, node_ids, edges, edge_w, node_w,
+                        key=None, training: bool = False):
+        """Encoder over a sampled padded subgraph (data/sampler.py contract).
+
+        edges: (E, 3) int32 (local head, type, local tail); edge_w masks
+        padded edge rows; node_w masks padded node rows (batch-norm stats).
+        Replaces the reference's PyG-subgraph forward
+        (kg_optimizer.py:383-388 + gnnbase.py:41-84).
+        """
+        x = params["entity"][node_ids]
+        rel_pack = self.get_r(params)
+        head, etype, tail = edges[:, 0], edges[:, 1], edges[:, 2]
+        dir_w = (etype < self.cfg.n_relations // 2).astype(x.dtype)
+        if training and key is not None:
+            kmask, key = jax.random.split(key)
+            edge_w = edge_w * M.edge_dropout_mask(
+                kmask, edge_w.shape[0], self.edge_dropout, dtype=x.dtype
+            )
+        for i, (layer, p) in enumerate(zip(self.layers, params["gnn"])):
+            lk = None
+            if key is not None:
+                key, lk = jax.random.split(key)
+            x, rel_pack = layer.apply_masked(
+                p, x, (head, tail, etype), rel_pack, edge_w, dir_w, node_w,
+                key=lk,
+            )
+            if i != len(self.layers) - 1:
+                rel_pack = self._act_r(rel_pack)
+        return self.finish_cache(x, rel_pack)
+
     def _act_r(self, rel_pack):
         if isinstance(rel_pack, tuple):  # (rel, curvature): tanh on rel only
             return (_tanh(rel_pack[0]), rel_pack[1]) if self.act_r_on_rel else rel_pack

@@ -1,0 +1,160 @@
+"""Subgraph training mode for GNN models.
+
+Counterpart of the reference KGOptimizerSubgraph (optimizers/
+kg_optimizer.py:319-431): per batch, a host-side neighbor sampler (C++ or
+numpy, data/sampler.py — replacing PyG's LinkNeighborLoader) yields a
+FIXED-SHAPE padded subgraph; the compiled step encodes it (train-mask edges
+only, kg_optimizer.py:386-387), scores the seed queries against the
+subgraph's nodes, and applies CE or label-smoothed BCE over those nodes.
+
+Divergences (documented):
+  * the reference indexes head biases with LOCAL node ids (gnnbase.py:106 ->
+    base.py via queries[..., 0] after relabeling) — a bug; we use the global
+    head ids for both biases.
+  * subgraphs are capped at (max_nodes, max_edges) with uniform subsampling
+    of overflow so shapes stay static.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from complexhyperbolickge_tpu.data.sampler import NeighborSampler, Subgraph
+from complexhyperbolickge_tpu.train.trainer import TrainConfig, make_optimizer
+
+
+def build_subgraph_labels(sub: Subgraph, max_nodes: int) -> np.ndarray:
+    """Multi-hot (B, max_nodes) labels: true local tails of each query among
+    the subgraph's TRAIN edges, plus the query's own tail (the reference's
+    make_labels with queries appended, kg_dataset.py:182-227)."""
+    b = len(sub.queries)
+    labels = np.zeros((b, max_nodes), dtype=np.float32)
+    tmask = sub.train_mask[: sub.n_edges] > 0
+    e = sub.edges[: sub.n_edges][tmask]
+    key_edges = {}
+    for h, r, t in e:
+        key_edges.setdefault((int(h), int(r)), []).append(int(t))
+    for i, (h, r, t) in enumerate(sub.queries):
+        labels[i, int(t)] = 1.0
+        for tt in key_edges.get((int(h), int(r)), ()):
+            labels[i, tt] = 1.0
+    return labels
+
+
+class SubgraphTrainer:
+    """Sampler-driven training loop for GNNModel instances."""
+
+    def __init__(self, model, cfg: TrainConfig, dataset, fanouts=(20, 20),
+                 max_nodes: int = 4096, max_edges: int = 32768):
+        assert getattr(model, "is_gnn", False), "subgraph mode is GNN-only"
+        assert cfg.neg_sample_size <= 0, (
+            "subgraph mode uses CE/BCE over subgraph nodes "
+            "(reference kg_optimizer.py:373-396)"
+        )
+        self.model = model
+        self.cfg = cfg
+        self.sampler = NeighborSampler(dataset, fanouts=fanouts,
+                                       max_nodes=max_nodes, max_edges=max_edges)
+        self.max_nodes = max_nodes
+        self.tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+        self._step = self._build_step()
+
+    def init(self, key):
+        params = self.model.init(key)
+        return params, self.tx.init(params)
+
+    # ------------------------------- compiled -------------------------------
+
+    def _loss(self, params, node_ids, edges, edge_w, train_mask, node_w,
+              queries, gqueries, labels, n_nodes, key):
+        model, cfg = self.model, self.cfg
+        cache = model.encode_subgraph(
+            params, node_ids, edges, edge_w * train_mask, node_w,
+            key=key, training=True,
+        )
+        x, _ = cache
+        lhs, _ = model.get_queries(params, queries[:, :2], cache)
+        s = model.sim(lhs, x, all_pairs=True)  # (B, max_nodes)
+        if model.cfg.bias == "learn":
+            s = params["bh"][gqueries[:, 0]] + params["bt"][node_ids][None, :, 0] + s
+        elif model.cfg.bias == "constant":
+            s = s + model.cfg.gamma
+        s = jnp.where(node_w[None, :] > 0, s, -1e9)
+
+        if cfg.loss == "crossentropy":
+            logp = jax.nn.log_softmax(s, axis=-1)
+            nll = -jnp.take_along_axis(logp, queries[:, 2:3], axis=1)[:, 0]
+            eps = cfg.smoothing or 0.0
+            if eps:
+                # smoothing mass over REAL subgraph nodes only (padded
+                # columns carry -logp ~ 1e9 and must stay out of the mean)
+                smooth = jnp.sum(-logp * node_w[None, :], axis=-1) / n_nodes
+                nll = (1 - eps) * nll + eps * smooth
+            loss = jnp.mean(nll)
+        else:  # binarycrossentropy over subgraph nodes
+            y = labels
+            eps = cfg.smoothing or 0.0
+            if eps:
+                y = (1 - eps) * y + eps / n_nodes
+            log_p = jnp.maximum(jax.nn.log_sigmoid(s), -100.0)
+            log_1mp = jnp.maximum(jax.nn.log_sigmoid(-s), -100.0)
+            per = -(y * log_p + (1 - y) * log_1mp) * node_w[None, :]
+            loss = jnp.sum(per) / (per.shape[0] * n_nodes)
+
+        factors = self.model.get_factors(params)
+        from complexhyperbolickge_tpu.train.regularizers import get_regularizer
+
+        loss = loss + get_regularizer(cfg.regularizer)(
+            factors, cfg.reg, factors[0].shape[0]
+        )
+        return loss
+
+    def _build_step(self):
+        grad_fn = jax.value_and_grad(self._loss)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, node_ids, edges, edge_w, train_mask,
+                 node_w, queries, gqueries, labels, n_nodes, key):
+            loss, grads = grad_fn(params, node_ids, edges, edge_w, train_mask,
+                                  node_w, queries, gqueries, labels, n_nodes,
+                                  key)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    # --------------------------------- epoch ---------------------------------
+
+    def run_epoch(self, params, opt_state, batch_size: int,
+                  rng: np.random.Generator, key, epoch_id: int = 0):
+        total, count = 0.0, 0
+        for i, sub in enumerate(self.sampler.epoch(batch_size, rng,
+                                                   seed_base=epoch_id << 20)):
+            node_w = (np.arange(self.max_nodes) < sub.n_nodes).astype(np.float32)
+            labels = (
+                build_subgraph_labels(sub, self.max_nodes)
+                if self.cfg.loss == "binarycrossentropy" else
+                np.zeros((len(sub.queries), 1), np.float32)
+            )
+            gq = np.stack(
+                [sub.node_ids[sub.queries[:, 0]], sub.queries[:, 1],
+                 sub.node_ids[sub.queries[:, 2]]], axis=1,
+            )
+            key, sk = jax.random.split(key)
+            params, opt_state, loss = self._step(
+                params, opt_state,
+                jnp.asarray(sub.node_ids), jnp.asarray(sub.edges),
+                jnp.asarray(sub.edge_weight), jnp.asarray(sub.train_mask),
+                jnp.asarray(node_w), jnp.asarray(sub.queries),
+                jnp.asarray(gq), jnp.asarray(labels),
+                jnp.float32(sub.n_nodes), sk,
+            )
+            total += float(loss)
+            count += 1
+        return params, opt_state, total / max(count, 1)

@@ -1,0 +1,123 @@
+"""C++ / numpy neighbor sampler and subgraph training tests."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from complexhyperbolickge_tpu.data.dataset import synthetic_kg
+from complexhyperbolickge_tpu.data.sampler import NeighborSampler
+from complexhyperbolickge_tpu.models import ModelConfig, get_model
+from complexhyperbolickge_tpu.train.subgraph import SubgraphTrainer, build_subgraph_labels
+from complexhyperbolickge_tpu.train.trainer import TrainConfig
+
+MAX_NODES, MAX_EDGES = 128, 1024
+
+
+@pytest.fixture(scope="module")
+def data():
+    return synthetic_kg(n_entities=60, n_relations=4, n_train=400, n_valid=50,
+                        n_test=50, seed=6)
+
+
+@pytest.mark.parametrize("force_numpy", [False, True])
+def test_sampler_invariants(data, force_numpy):
+    s = NeighborSampler(data, fanouts=(4, 4), max_nodes=MAX_NODES,
+                        max_edges=MAX_EDGES, force_numpy=force_numpy)
+    if not force_numpy:
+        assert s.backend == "cpp", "native sampler library failed to build"
+    seeds = np.arange(16)
+    sub = s.sample(seeds, seed=3)
+    assert 0 < sub.n_nodes <= MAX_NODES
+    assert 0 <= sub.n_edges <= MAX_EDGES
+    # local ids in range
+    real_edges = sub.edges[: sub.n_edges]
+    assert real_edges[:, [0, 2]].max() < sub.n_nodes
+    assert sub.queries[:, [0, 2]].max() < sub.n_nodes
+    # queries decode to the original global seed triples
+    e = s.edges_global[seeds]
+    np.testing.assert_array_equal(sub.node_ids[sub.queries[:, 0]], e[:, 0])
+    np.testing.assert_array_equal(sub.node_ids[sub.queries[:, 2]], e[:, 2])
+    np.testing.assert_array_equal(sub.queries[:, 1], e[:, 1])
+    # padded rows are zeroed with weight 0
+    assert (sub.edge_weight[sub.n_edges:] == 0).all()
+    # every kept edge joins sampled nodes
+    in_set = set(sub.node_ids[: sub.n_nodes].tolist())
+    glob_heads = sub.node_ids[real_edges[:, 0]]
+    glob_tails = sub.node_ids[real_edges[:, 2]]
+    assert set(glob_heads.tolist()) <= in_set
+    assert set(glob_tails.tolist()) <= in_set
+
+
+def test_sampler_seed_edges_excluded(data):
+    """The seed edges' ids must not appear in the induced subgraph (the
+    reference's exclude=batch.input_id, pyg_utils.py:101-111)."""
+    s = NeighborSampler(data, fanouts=(20, 20), max_nodes=2048, max_edges=16384)
+    seeds = np.arange(8)
+    sub = s.sample(seeds, seed=0)
+    e = s.edges_global
+    seed_triples = {tuple(x) for x in e[seeds].tolist()}
+    kept = np.stack(
+        [sub.node_ids[sub.edges[: sub.n_edges, 0]],
+         sub.edges[: sub.n_edges, 1],
+         sub.node_ids[sub.edges[: sub.n_edges, 2]]], axis=1,
+    )
+    # duplicates of a seed triple under a different edge id may legally
+    # remain; count must not exceed the duplicate count in the graph
+    from collections import Counter
+
+    graph_counts = Counter(map(tuple, e.tolist()))
+    kept_counts = Counter(map(tuple, kept.tolist()))
+    for t in seed_triples:
+        assert kept_counts[t] <= graph_counts[t] - 1
+
+
+def test_sampler_determinism(data):
+    s = NeighborSampler(data, fanouts=(4, 4), max_nodes=MAX_NODES,
+                        max_edges=MAX_EDGES)
+    a = s.sample(np.arange(16), seed=9)
+    b = s.sample(np.arange(16), seed=9)
+    np.testing.assert_array_equal(a.node_ids, b.node_ids)
+    np.testing.assert_array_equal(a.edges, b.edges)
+
+
+def test_subgraph_labels(data):
+    s = NeighborSampler(data, fanouts=(4, 4), max_nodes=MAX_NODES,
+                        max_edges=MAX_EDGES)
+    sub = s.sample(np.arange(16), seed=1)
+    labels = build_subgraph_labels(sub, MAX_NODES)
+    assert labels.shape == (16, MAX_NODES)
+    # the gold tail is always labeled
+    assert (labels[np.arange(16), sub.queries[:, 2]] == 1).all()
+
+
+@pytest.mark.parametrize("loss", ["crossentropy", "binarycrossentropy"])
+def test_subgraph_training(data, loss):
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, dtype="float32")
+
+    class A:
+        hidden_dim = 8
+        layers = 2
+        edge_dropout = 0.1
+        dropout = 0.0
+        opn = "mult"
+        interaction = "distmult"
+        basis = 0
+
+    model = get_model("CompGCN")(cfg, A(), data)
+    tcfg = TrainConfig(learning_rate=0.01, batch_size=32, neg_sample_size=0,
+                       loss=loss, smoothing=0.1, optimizer="Adam")
+    trainer = SubgraphTrainer(model, tcfg, data, fanouts=(4, 4),
+                              max_nodes=MAX_NODES, max_edges=MAX_EDGES)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for ep in range(2):
+        params, opt_state, loss_v = trainer.run_epoch(
+            params, opt_state, 32, rng, key, epoch_id=ep)
+        losses.append(loss_v)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
