@@ -39,7 +39,7 @@ from complexhyperbolickge_tpu.train.evaluate import (
     compute_metrics,
     count_params,
     format_metrics,
-    make_ranker,
+    make_best_ranker,
 )
 from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
 
@@ -84,6 +84,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--resume", action="store_true",
                    help="resume from save_dir's checkpoint")
+    p.add_argument("--eval_backend", default="auto",
+                   choices=["auto", "dense", "pallas"],
+                   help="ranking path: fused Pallas kernel or dense XLA")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax profiler trace of one epoch here")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN)")
+    p.add_argument("--subgraph", action="store_true",
+                   help="GNN-only: train on sampled subgraphs instead of the "
+                        "full graph (reference KGOptimizerSubgraph mode)")
     # GNN-specific (parity with reference run.py:113-131)
     p.add_argument("--hidden_dim", default=200, type=int)
     p.add_argument("--edge_dropout", default=0.3, type=float)
@@ -140,6 +150,8 @@ def train(args) -> dict:
 
     if args.dtype in ("double", "float64"):
         jax.config.update("jax_enable_x64", True)
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
 
     dataset = load_dataset(args)
     sizes = dataset.get_shape()
@@ -177,19 +189,37 @@ def train(args) -> dict:
         logging.info("Resumed from epoch %d", st["epoch"])
 
     rng = np.random.default_rng(args.seed)
-    rank_fn = make_ranker(model, args.eval_batch_size)
+    rank_fn = make_best_ranker(model, args.eval_batch_size,
+                               getattr(args, "eval_backend", "auto"))
     vb, vw, _ = epoch_batches(valid_examples, args.batch_size, None)
+
+    sub_trainer = None
+    if getattr(args, "subgraph", False):
+        from complexhyperbolickge_tpu.train.subgraph import SubgraphTrainer
+
+        sub_trainer = SubgraphTrainer(model, tcfg, dataset)
+
+    from complexhyperbolickge_tpu.utils.profiling import trace
 
     logging.info("\t Start training")
     for epoch in range(start_epoch, args.max_epochs + 1):
         t0 = time.perf_counter()
-        batches, weights, lab_b = epoch_batches(
-            train_examples, args.batch_size, rng, labels
-        )
         key, ek, vk = jax.random.split(key, 3)
-        params, opt_state, train_loss = trainer.run_epoch(
-            params, opt_state, batches, weights, ek, labels=lab_b
-        )
+        profile_dir = args.profile_dir if (
+            getattr(args, "profile_dir", None) and epoch == start_epoch + 1
+        ) else None
+        with trace(profile_dir):
+            if sub_trainer is not None:
+                params, opt_state, train_loss = sub_trainer.run_epoch(
+                    params, opt_state, args.batch_size, rng, ek, epoch_id=epoch
+                )
+            else:
+                batches, weights, lab_b = epoch_batches(
+                    train_examples, args.batch_size, rng, labels
+                )
+                params, opt_state, train_loss = trainer.run_epoch(
+                    params, opt_state, batches, weights, ek, labels=lab_b
+                )
         dt = time.perf_counter() - t0
         logging.info(
             "\t Epoch %d | average train loss: %.4f | %.0f triples/s",

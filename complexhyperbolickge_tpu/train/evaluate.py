@@ -35,6 +35,24 @@ def make_ranker(model, eval_batch_size: int):
     return rank_batch
 
 
+def make_best_ranker(model, eval_batch_size: int, backend: str = "auto"):
+    """Pick the fused Pallas ranker for CHYP-family models on TPU (1.46x the
+    dense path, benchmarks/eval_bench.py), else the dense XLA ranker."""
+    if backend in ("auto", "pallas"):
+        try:
+            from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
+
+            on_tpu = jax.devices()[0].platform != "cpu"
+            if isinstance(model, FFTUnitBall) and (on_tpu or backend == "pallas"):
+                from complexhyperbolickge_tpu.kernels import make_pallas_ranker
+
+                return make_pallas_ranker(model, eval_batch_size,
+                                          interpret=not on_tpu)
+        except Exception:
+            pass
+    return make_ranker(model, eval_batch_size)
+
+
 def get_ranking(model, params, pack, batch_size: int = 500, rank_fn=None):
     """Ranks of the gold entity for every query in an EvalPack."""
     rank_fn = rank_fn or make_ranker(model, batch_size)
