@@ -52,6 +52,8 @@ def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
         return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     if name == "Adagrad":
         return optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    if name == "SGD":  # not in the reference's choices; used by parity tests
+        return optax.sgd(lr)
     raise ValueError(f"unknown optimizer {name!r}")
 
 

@@ -51,8 +51,13 @@ def patch_reflection(monkeypatch):
     yield
 
 
-def build_pair(name, rank, multi_c=True, bias="learn", seed=0):
-    """Construct (our model, our params, reference model) with shared weights."""
+def build_pair(name, rank, multi_c=True, bias="learn", seed=0,
+               natural_init=False):
+    """Construct (our model, our params, reference model) with shared weights.
+
+    natural_init=False randomizes weights uniform(-0.5, 0.5) for
+    well-spread scores; True keeps the reference's own init distribution
+    (init_size-scaled normals — the realistic early-training regime)."""
     torch.manual_seed(seed)
     ref_cls = None
     for mod in (ref_euc_mod, ref_cplx_mod, ref_hyp_mod, ref_chyp_mod):
@@ -73,17 +78,21 @@ def build_pair(name, rank, multi_c=True, bias="learn", seed=0):
     ours = get_model(name)(cfg)
 
     # weight injection: randomize reference weights, copy into our pytree
-    with torch.no_grad():
-        for p in ref_model.parameters():
-            p.uniform_(-0.5, 0.5)
-        # curvatures positive-ish like training would keep them
-        if hasattr(ref_model, "c"):
-            ref_model.c.weight.uniform_(0.5, 1.5)
+    if not natural_init:
+        with torch.no_grad():
+            for p in ref_model.parameters():
+                p.uniform_(-0.5, 0.5)
+            # curvatures positive-ish like training would keep them
+            if hasattr(ref_model, "c"):
+                ref_model.c.weight.uniform_(0.5, 1.5)
 
     params = {}
     for ours_name, (shape, _) in ours.param_specs().items():
         ref_attr = getattr(ref_model, ours_name)
-        w = ref_attr.weight.detach().numpy()
+        # NB: .numpy() aliases the torch buffer and jnp.asarray may zero-copy
+        # on CPU — an explicit copy isolates our params from torch's in-place
+        # optimizer updates.
+        w = np.array(ref_attr.weight.detach().numpy(), copy=True)
         assert w.shape == shape, f"{name}.{ours_name}: {w.shape} != {shape}"
         params[ours_name] = jnp.asarray(w)
     return ours, params, ref_model
