@@ -2,3 +2,7 @@ from complexhyperbolickge_tpu.kernels.chyp_rank import (  # noqa: F401
     chyp_rank_counts,
     make_pallas_ranker,
 )
+from complexhyperbolickge_tpu.kernels.hyp_rank import (  # noqa: F401
+    hyp_rank_counts,
+    make_pallas_hyp_ranker,
+)

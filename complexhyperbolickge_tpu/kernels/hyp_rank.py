@@ -1,0 +1,167 @@
+"""Fused Pallas ranking kernel for the Poincare-ball (BaseH) model family.
+
+Same skeleton as chyp_rank.py — one MXU matmul per entity tile + a fused
+VPU epilogue + masked rank counting, so the (B, N) score matrix never
+reaches HBM — with the BaseH epilogue: the reference's double-folded
+expmap0/tanh Poincare distance with per-query curvature
+(models/hyperbolic.py:45-49, utils/hyperbolic.py:194-216; folded all-pairs
+derivation in ops/hyperbolic.py::hyp_sim_expmap_all).
+
+Covers RotH / RefH / AttH / IsoH / IFFTH (every BaseH model whose sim is
+-hyp_distance_multi_c(lhs, expmap0(rhs, c), c)^2; AttRH splits the feature
+axis and is served by the dense path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from complexhyperbolickge_tpu.ops.math import MIN_NORM, ball_eps
+
+
+def _tanh15(x):
+    return jnp.tanh(jnp.clip(x, -15, 15))
+
+
+def _artanh(x):
+    x = jnp.clip(x, -1 + 1e-5, 1 - 1e-5)
+    return 0.5 * (jnp.log1p(x) - jnp.log1p(-x))
+
+
+def _hyp_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
+                     mask_ref, out_ref, *, eps: float):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rhs_t = rhs_ref[:]  # (T, Dp)
+    acc = jax.lax.dot_general(
+        lhs_ref[:], rhs_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, T) = <x, v>
+    un_sq = jnp.sum(rhs_t * rhs_t, axis=1, keepdims=True).T  # (1, T)
+    un = jnp.sqrt(jnp.maximum(un_sq, MIN_NORM * MIN_NORM))
+    xv = acc / un  # <x, v/||v||>
+
+    c = c_ref[:]  # (B, 1)
+    sqrt_c = jnp.sqrt(c)
+    x2 = x2_ref[:]  # (B, 1)
+
+    # expmap0 radius with project() clip, then the distance's second fold
+    m = _tanh15(sqrt_c * un) / sqrt_c  # (B, T)
+    m = jnp.minimum(m, (1.0 - eps) / sqrt_c)
+    gamma = _tanh15(sqrt_c * m) / sqrt_c
+    c1 = 1.0 - 2.0 * c * gamma * xv + c * gamma * gamma
+    c2 = 1.0 - c * x2
+    num = jnp.sqrt(
+        jnp.maximum(
+            c1 * c1 * x2 + c2 * c2 * gamma * gamma - 2.0 * c1 * c2 * gamma * xv,
+            0.0,
+        )
+    )
+    denom = 1.0 - 2.0 * c * gamma * xv + c * c * gamma * gamma * x2
+    pn = num / jnp.maximum(denom, MIN_NORM)
+    dist = 2.0 * _artanh(sqrt_c * pn) / sqrt_c
+    score = bt_ref[:] - dist * dist
+
+    maskf = mask_ref[:].astype(jnp.float32)
+    keep = jnp.where(score >= t2_ref[:], 1.0 - maskf, 0.0)
+    out_ref[:] += jnp.sum(keep, axis=1)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask, *,
+                    tile_n: int = 512, interpret: bool = False):
+    b, dp = lhs_pad.shape
+    np_, _ = rhs_pad.shape
+    assert np_ % tile_n == 0
+    eps = float(ball_eps(jnp.float32))
+    counts = pl.pallas_call(
+        functools.partial(_hyp_rank_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
+        grid=(np_ // tile_n,),
+        in_specs=[
+            pl.BlockSpec((b, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask)
+    return counts[0]
+
+
+class PallasHypRanker:
+    """Drop-in filtered ranker for BaseH-family models (not AttRH)."""
+
+    def __init__(self, model, batch_size: int, tile_n: int = 512,
+                 interpret: bool = False):
+        from complexhyperbolickge_tpu.models.hyperbolic import AttRH, BaseH
+
+        assert isinstance(model, BaseH) and not isinstance(model, AttRH)
+        self.model = model
+        self.tile_n = tile_n
+        self.interpret = interpret
+        self._prep = jax.jit(self._prepare_tables)
+        self._qfn = jax.jit(self._queries)
+
+    def _prepare_tables(self, params):
+        ent = params["entity"].astype(jnp.float32)
+        n, d = ent.shape
+        np_ = -(-n // self.tile_n) * self.tile_n
+        dp = -(-d // 128) * 128
+        rhs = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(ent)
+        bt = params["bt"][:, 0].astype(jnp.float32)
+        if self.model.cfg.bias != "learn":
+            bt = jnp.zeros_like(bt)
+        bt_row = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(bt)
+        return rhs, bt_row
+
+    def _queries(self, params, q, fidx, rhs_pad, bt_row):
+        model = self.model
+        np_, dp = rhs_pad.shape
+        b = q.shape[0]
+        (lhs, c), lhs_b = model.get_queries(params, q[:, :2])
+        lhs = lhs.astype(jnp.float32)
+        c = c.astype(jnp.float32)
+        if c.shape[0] == 1:
+            c = jnp.broadcast_to(c, (b, 1))
+        d = lhs.shape[-1]
+        lhs_pad = jnp.zeros((b, dp), jnp.float32).at[:, :d].set(lhs)
+        x2 = jnp.sum(lhs * lhs, axis=-1, keepdims=True)
+
+        # gold target (same folded math as the kernel), lhs bias folded out
+        gold = model.sim((lhs, c), params["entity"][q[:, 2]].astype(jnp.float32)
+                         [:, None, :], all_pairs=False)[:, 0:1]
+        t2 = gold
+        if model.cfg.bias == "learn":
+            t2 = t2 + params["bt"][q[:, 2]].astype(jnp.float32)
+
+        mask = jnp.zeros((b, np_), jnp.int8)
+        mask = mask.at[:, model.cfg.n_entities :].set(1)
+        mask = mask.at[jnp.arange(b)[:, None], fidx].set(1, mode="drop")
+        return lhs_pad, x2, c, t2, mask
+
+    def __call__(self, params, q, fidx):
+        rhs_pad, bt_row = self._prep(params)
+        lhs_pad, x2, c, t2, mask = self._qfn(params, q, fidx, rhs_pad, bt_row)
+        counts = hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask,
+                                 tile_n=self.tile_n, interpret=self.interpret)
+        return 1.0 + counts
+
+
+def make_pallas_hyp_ranker(model, batch_size: int, interpret: bool = False):
+    return PallasHypRanker(model, batch_size, interpret=interpret)

@@ -41,13 +41,20 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto"):
     if backend in ("auto", "pallas"):
         try:
             from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
+            from complexhyperbolickge_tpu.models.hyperbolic import AttRH, BaseH
 
             on_tpu = jax.devices()[0].platform != "cpu"
-            if isinstance(model, FFTUnitBall) and (on_tpu or backend == "pallas"):
+            want = on_tpu or backend == "pallas"
+            if isinstance(model, FFTUnitBall) and want:
                 from complexhyperbolickge_tpu.kernels import make_pallas_ranker
 
                 return make_pallas_ranker(model, eval_batch_size,
                                           interpret=not on_tpu)
+            if isinstance(model, BaseH) and not isinstance(model, AttRH) and want:
+                from complexhyperbolickge_tpu.kernels import make_pallas_hyp_ranker
+
+                return make_pallas_hyp_ranker(model, eval_batch_size,
+                                              interpret=not on_tpu)
         except Exception:
             pass
     return make_ranker(model, eval_batch_size)

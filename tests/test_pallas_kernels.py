@@ -48,6 +48,32 @@ def test_pallas_ranker_matches_dense(setup, direction):
     np.testing.assert_array_equal(ranks, dense)
 
 
+@pytest.mark.parametrize("name", ["RotH", "AttH", "IsoH"])
+@pytest.mark.parametrize("direction", ["rhs", "lhs"])
+def test_pallas_hyp_ranker_matches_dense(name, direction):
+    from complexhyperbolickge_tpu.kernels import make_pallas_hyp_ranker
+
+    data = synthetic_kg(n_entities=N_ENT, n_relations=5, n_train=500,
+                        n_valid=50, n_test=64, seed=8)
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, bias="learn", dtype="float32")
+    model = get_model(name)(cfg)
+    rng = np.random.default_rng(13)
+    params = {
+        k: jnp.asarray(rng.uniform(-0.5, 0.5, size=shape), dtype=jnp.float32)
+        for k, (shape, _) in model.param_specs().items()
+    }
+    params["c"] = jnp.abs(params["c"]) + 0.5
+    pack = data.eval_pack("test", direction)
+    dense = get_ranking(model, params, pack, batch_size=64)
+    ranker = make_pallas_hyp_ranker(model, 64, interpret=True)
+    ranks = np.asarray(
+        ranker(params, jnp.asarray(pack.queries), jnp.asarray(pack.filter_idx))
+    )
+    np.testing.assert_array_equal(ranks, dense)
+
+
 def test_pallas_ranker_pads_entities(setup):
     """n_entities=200 is not a multiple of tile_n=512 — padded rows must stay
     masked (counts unaffected)."""
