@@ -22,7 +22,33 @@ import numpy as np
 
 
 def make_ranker(model, eval_batch_size: int):
-    """Compiled filtered-ranking over one query batch."""
+    """Compiled filtered-ranking over one query batch.
+
+    For GNN models the full-graph encoder output is computed ONCE and bound
+    as a cache (mirroring the reference's cached forward_base during eval,
+    gnnbase.py:240) instead of being re-traced into every batch's program.
+    """
+
+    if getattr(model, "is_gnn", False):
+        encode = jax.jit(lambda p: model.encode(p))
+
+        @jax.jit
+        def rank_core(params, cache, q, fidx):
+            scores = model.score_all(params, q[:, :2], cache=cache)
+            target = jnp.take_along_axis(scores, q[:, 2:3], axis=1)
+            rows = jnp.arange(q.shape[0])[:, None]
+            scores = scores.at[rows, fidx].set(-1e6, mode="drop")
+            return 1.0 + jnp.sum(scores >= target, axis=1).astype(jnp.float32)
+
+        state = {"pid": None, "cache": None}
+
+        def rank_batch(params, q, fidx):
+            pid = id(jax.tree.leaves(params)[0])
+            if state["pid"] != pid:
+                state["pid"], state["cache"] = pid, encode(params)
+            return rank_core(params, state["cache"], q, fidx)
+
+        return rank_batch
 
     @jax.jit
     def rank_batch(params, q, fidx):
