@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_batch_size", default=500, type=int)
     p.add_argument("--update_steps", default=1, type=int)
     p.add_argument("--neg_sample_size", default=50, type=int)
+    p.add_argument("--neg_mode", default="per_query",
+                   choices=["per_query", "shared"],
+                   help="per_query = reference sampler; shared = one negative"
+                        " set per batch (MXU matmul scoring, faster)")
     p.add_argument("--loss", default="crossentropy",
                    choices=["crossentropy", "binarycrossentropy"])
     p.add_argument("--dropout", default=0.0, type=float)
@@ -165,6 +169,7 @@ def train(args) -> dict:
         regularizer=args.regularizer, reg=args.reg, optimizer=args.optimizer,
         learning_rate=args.learning_rate, batch_size=args.batch_size,
         update_steps=args.update_steps, neg_sample_size=args.neg_sample_size,
+        neg_mode=getattr(args, "neg_mode", "per_query"),
         loss=args.loss, smoothing=args.smoothing, double_neg=args.double_neg,
     )
     trainer = Trainer(model, tcfg, sizes[0], sizes[1])

@@ -62,6 +62,45 @@ def neg_sampling_loss(model, params, batch, weights, key, n_entities: int,
     return -num / den, factors
 
 
+def neg_sampling_loss_shared(model, params, batch, weights, key,
+                             n_entities: int, k: int, double_neg: bool,
+                             n_rel: int):
+    """Negative-sampling loss with ONE shared negative set per batch.
+
+    A TPU-native throughput option beyond the reference (which samples K
+    negatives PER QUERY, kg_optimizer.py:92-98): with a shared (K,) candidate
+    table the negative scoring becomes the models' all-pairs form — a
+    (B, D) x (D, K) MXU matmul instead of B*K gathered elementwise chains.
+    Collisions with a query's gold tail are masked out of the mean.  Same
+    estimator family as DGL-KE-style shared negative sampling; enable with
+    --neg_mode shared.
+    """
+    queries, tails = batch[:, :2], batch[:, 2:3]
+    pos = model.score(params, queries, tails)  # (B, 1)
+    factors = model.get_factors(params, queries, tails)
+
+    keys = jax.random.split(key, 2)
+    w = weights[:, None]
+    num = jnp.sum(w * _logsigmoid(pos))
+    den = jnp.sum(weights)
+
+    def shared_negs(kk, q, gold):
+        neg_ids = jax.random.randint(kk, (k,), 0, n_entities)
+        lhs, lhs_b = model.get_queries(params, q)
+        s = model.sim(lhs, params["entity"][neg_ids], all_pairs=True)  # (B,K)
+        s = model._apply_bias(s, lhs_b, params["bt"][neg_ids], all_pairs=True)
+        keep = w * (neg_ids[None, :] != gold)  # mask gold-tail collisions
+        return jnp.sum(keep * _logsigmoid(-s)), jnp.sum(keep)
+
+    n_t, d_t = shared_negs(keys[0], queries, tails)
+    num, den = num + n_t, den + d_t
+    if double_neg:
+        inv_q = jnp.stack([batch[:, 2], batch[:, 1] + n_rel // 2], axis=1)
+        n_h, d_h = shared_negs(keys[1], inv_q, batch[:, 0:1])
+        num, den = num + n_h, den + d_h
+    return -num / den, factors
+
+
 def cross_entropy_loss(model, params, batch, weights, smoothing: float | None):
     """All-entity CE with torch-style label smoothing (kg_optimizer.py:47,
     186-191): loss_i = (1-eps)(-log p_t) + eps * mean_k(-log p_k)."""

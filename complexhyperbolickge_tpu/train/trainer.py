@@ -45,6 +45,7 @@ class TrainConfig:
     loss: str = "crossentropy"  # crossentropy | binarycrossentropy
     smoothing: Optional[float] = None
     double_neg: bool = False
+    neg_mode: str = "per_query"  # per_query (reference) | shared (MXU matmuls)
 
 
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
@@ -72,6 +73,8 @@ class Trainer:
             cfg.neg_sample_size <= 0
             and cfg.loss == "binarycrossentropy"
         )
+        if cfg.neg_mode == "shared" and getattr(model, "is_gnn", False):
+            raise ValueError("neg_mode='shared' is not supported for GNN models")
         self._epoch_fn = self._build_epoch_fn()
         self._valid_fn = self._build_valid_fn()
 
@@ -90,10 +93,16 @@ class Trainer:
 
             model = BoundGNN(model, cache)
         if cfg.neg_sample_size > 0:
-            loss, factors = L.neg_sampling_loss(
-                model, params, batch, weights, key, self.n_entities,
-                cfg.neg_sample_size, cfg.double_neg, self.n_relations,
-            )
+            if cfg.neg_mode == "shared":
+                loss, factors = L.neg_sampling_loss_shared(
+                    model, params, batch, weights, key, self.n_entities,
+                    cfg.neg_sample_size, cfg.double_neg, self.n_relations,
+                )
+            else:
+                loss, factors = L.neg_sampling_loss(
+                    model, params, batch, weights, key, self.n_entities,
+                    cfg.neg_sample_size, cfg.double_neg, self.n_relations,
+                )
         elif cfg.loss == "crossentropy":
             loss, factors = L.cross_entropy_loss(
                 model, params, batch, weights, cfg.smoothing
