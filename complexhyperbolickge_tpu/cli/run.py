@@ -153,7 +153,18 @@ def train(args) -> dict:
     logging.info("Saving logs in: %s", save_dir)
 
     if args.dtype in ("double", "float64"):
-        jax.config.update("jax_enable_x64", True)
+        if jax.devices()[0].platform != "cpu":
+            # TPU has no native f64 (the FFT HLO won't even compile in f64);
+            # the reference's precision-of-record (double, tuning_fft.sh:34)
+            # is preserved on CPU and by the f64 parity test-suite, while TPU
+            # runs use float32.
+            logging.warning(
+                "dtype=double requested on a non-CPU backend; using float32 "
+                "(TPU has no native f64). Pass --dtype float32 to silence."
+            )
+            args.dtype = "float32"
+        else:
+            jax.config.update("jax_enable_x64", True)
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
 

@@ -107,7 +107,10 @@ class KGData:
             )
         skip = self.to_skip[direction]
         lists = [skip.get((int(q[0]), int(q[1])), []) for q in ex]
-        lmax = max((len(l) for l in lists), default=0) + 1  # +1 for gold tail
+        # pad to the DIRECTION-GLOBAL max filter length (+1 for the gold
+        # tail) so every pack of a dataset shares one static shape — the
+        # jitted rankers compile once instead of once per rel_idx/split
+        lmax = max((len(v) for v in skip.values()), default=0) + 1
         fidx = np.full((len(ex), lmax), self.n_entities, dtype=np.int32)
         for i, l in enumerate(lists):
             fidx[i, : len(l)] = l
