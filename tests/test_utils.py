@@ -14,9 +14,10 @@ def test_mlp_shapes_and_nonlinearity():
     x = jnp.ones((5, 4))
     y = mlp.apply(p, x)
     assert y.shape == (5, 2)
-    # not purely linear: f(2x) != 2 f(x) because of relu
-    y2 = mlp.apply(p, 2 * x)
-    assert not np.allclose(np.asarray(y2), 2 * np.asarray(y))
+    # relu breaks odd symmetry (zero biases keep positive homogeneity, so
+    # test f(-x) != -f(x) rather than scaling along a ray)
+    y2 = mlp.apply(p, -x)
+    assert not np.allclose(np.asarray(y2), -np.asarray(y))
 
 
 def test_monotonic_mlp_is_monotone():
