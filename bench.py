@@ -33,7 +33,9 @@ def main():
     from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
 
     n_rel = 2 * N_REL_RAW
-    n_train = 2 * 86835  # WN18RR train after inverse augmentation
+    # 120 batches per epoch: steady-state throughput is per-step and the
+    # shorter lax.scan keeps remote-compile latency bounded
+    n_train = 120 * BATCH
     cfg = ModelConfig(n_entities=N_ENT, n_relations=n_rel, rank=RANK,
                       multi_c=True, bias="learn", dtype="float32")
     model = get_model("FFTRotH")(cfg)
