@@ -25,7 +25,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from complexhyperbolickge_tpu.ops.math import MIN_NORM, ball_eps, safe_norm, tanh, artanh
+from complexhyperbolickge_tpu.ops.math import (
+    MIN_NORM,
+    artanh,
+    ball_eps,
+    safe_norm,
+    st_clip,
+    tanh,
+)
 
 # The reference's complex-hyperbolic `project` uses a fixed eps = 1e-5
 # independent of dtype (utils/complexhyperbolic.py:83), unlike the Poincare
@@ -99,11 +106,17 @@ def hermitian_sqnorm_lifted(v):
 
 
 def _chyp_x(sr, si, znorm, wnorm, eps):
-    """Cross-ratio argument x from Hermitian pieces, with reference clamps."""
-    znorm = jnp.clip(znorm, -1.0, -eps)
-    wnorm = jnp.clip(wnorm, -1.0, -eps)
+    """Cross-ratio argument x from Hermitian pieces.
+
+    The clamps are STRAIGHT-THROUGH (see ops.math.st_clip): the reference's
+    custom Distance.backward evaluates the analytic unclamped gradient at the
+    clamped values (utils/complexhyperbolic.py:193-254), and without that the
+    saturated clamps at small embedding norms would zero every gradient.
+    """
+    znorm = st_clip(znorm, -1.0, -eps)
+    wnorm = st_clip(wnorm, -1.0, -eps)
     x = 2 * (sr * sr + si * si) / (znorm * wnorm) - 1.0
-    return jnp.maximum(x, 1 + eps)
+    return st_clip(x, 1 + eps, None)
 
 
 def chyp_distance(lhs, rhs):

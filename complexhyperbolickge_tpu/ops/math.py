@@ -68,6 +68,20 @@ def clamp_min(x, lo):
     return jnp.maximum(x, lo)
 
 
+def st_clip(x, lo=None, hi=None):
+    """Clip with a straight-through (identity) gradient.
+
+    The reference's hand-written Distance.backward
+    (utils/complexhyperbolic.py:239-254) computes the analytic unclamped
+    gradient EVALUATED AT the clamped forward values — i.e. its clamps are
+    straight-through.  This is not an optimization: at small-embedding
+    regimes (init scale 1e-3, or f32 where BALL_EPS=4e-3) the forward
+    clamps saturate for every pair and plain autodiff through max/clip
+    returns exactly zero gradient, freezing training.
+    """
+    return x + jax.lax.stop_gradient(jnp.clip(x, lo, hi) - x)
+
+
 def safe_norm(x, axis=-1, keepdims=True):
     """L2 norm clamped below by MIN_NORM, matching `.norm().clamp_min(MIN_NORM)`.
 
