@@ -106,6 +106,36 @@ def train_reference(data):
     return (mrr["lhs"] + mrr["rhs"]) / 2
 
 
+# TransE is excluded: translations in a random embedding space cannot
+# represent arbitrary permutation relations (plateaus ~2x chance at any
+# epoch budget — a model-capacity fact, not a gradient bug).
+@pytest.mark.parametrize("name,rank", [
+    ("RotH", 16), ("AttH", 16), ("ComplEx", 16), ("RotE", 16),
+    ("FFTRefH", 9), ("FFTAttH", 9), ("RotLH", 16),
+])
+def test_families_learn_structured_kg(data, name, rank):
+    """Every family must beat chance by a wide margin on the permutation KG
+    (guards against silent gradient freezes like the clamped-chyp-distance
+    one this suite caught)."""
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=rank,
+                      multi_c=True, bias="learn", dtype="float32")
+    model = get_model(name)(cfg)
+    tcfg = TrainConfig(optimizer="Adam", learning_rate=LR, batch_size=BATCH,
+                       neg_sample_size=NEG, regularizer="N3", reg=0.0)
+    trainer = Trainer(model, tcfg, n_ent, n_rel)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    ex = data.get_examples("train")
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    for _ in range(EPOCHS):
+        b, w, _ = epoch_batches(ex, BATCH, rng)
+        key, ek = jax.random.split(key)
+        params, opt_state, _ = trainer.run_epoch(params, opt_state, b, w, ek)
+    mrr = avg_both(compute_metrics(model, params, data, "test", 64))["MRR"]
+    assert mrr > 5 * (2.0 / N_ENT), f"{name} failed to learn: MRR {mrr:.4f}"
+
+
 def test_learning_dynamics_match_reference(data):
     mrr_ref = train_reference(data)
     mrr_ours = train_ours(data)
