@@ -78,15 +78,56 @@ def _hyp_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
     out_ref[:] += jnp.sum(keep, axis=1)[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def _lorentz_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
+                         mask_ref, out_ref, *, eps: float):
+    """BaseLorentz epilogue: folded expmap0_lorentz + hyperboloid distance
+    (ops/hyperbolic.py::lorentz_sim_expmap_all; reference
+    models/hyperbolic.py:330-334, utils/hyperbolic.py:109-121,218-239)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rhs_t = rhs_ref[:]
+    acc = jax.lax.dot_general(
+        lhs_ref[:], rhs_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, T) = <x, v>
+    un_sq = jnp.sum(rhs_t * rhs_t, axis=1, keepdims=True).T  # (1, T)
+    un = jnp.sqrt(jnp.maximum(un_sq, MIN_NORM * MIN_NORM))
+    xdir = acc / un
+
+    c = c_ref[:]
+    sqrt_c = jnp.sqrt(c)
+    alpha = sqrt_c * un  # (B, T)
+    s = jnp.sinh(alpha) / alpha * un  # expmap0_lorentz radius
+    x0 = jnp.sqrt(x2_ref[:] + 1.0 / c)  # (B, 1)
+    v0 = jnp.sqrt(s * s + 1.0 / c)
+    res = xdir * s - x0 * v0
+    # arcosh with the reference's clamp_min(1 + 1e-6); log+sqrt form
+    z = jnp.maximum(-c * res, 1.0 + 1e-6)
+    dist = jnp.log(z + jnp.sqrt(z * z - 1.0)) / sqrt_c
+    score = bt_ref[:] - dist * dist
+
+    maskf = mask_ref[:].astype(jnp.float32)
+    keep = jnp.where(score >= t2_ref[:], 1.0 - maskf, 0.0)
+    out_ref[:] += jnp.sum(keep, axis=1)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "family"))
 def hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask, *,
-                    tile_n: int = 512, interpret: bool = False):
+                    tile_n: int = 512, interpret: bool = False,
+                    family: str = "poincare"):
     b, dp = lhs_pad.shape
     np_, _ = rhs_pad.shape
     assert np_ % tile_n == 0
     eps = float(ball_eps(jnp.float32))
+    kernel = _hyp_rank_kernel if family == "poincare" else _lorentz_rank_kernel
     counts = pl.pallas_call(
-        functools.partial(_hyp_rank_kernel, eps=eps),
+        functools.partial(kernel, eps=eps),
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
         grid=(np_ // tile_n,),
         in_specs=[
@@ -105,13 +146,20 @@ def hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask, *,
 
 
 class PallasHypRanker:
-    """Drop-in filtered ranker for BaseH-family models (not AttRH)."""
+    """Drop-in filtered ranker for the BaseH family (not AttRH) and the
+    BaseLorentz family (RotLH, HyboNet)."""
 
     def __init__(self, model, batch_size: int, tile_n: int = 512,
                  interpret: bool = False):
-        from complexhyperbolickge_tpu.models.hyperbolic import AttRH, BaseH
+        from complexhyperbolickge_tpu.models.hyperbolic import (
+            AttRH,
+            BaseH,
+            BaseLorentz,
+        )
 
-        assert isinstance(model, BaseH) and not isinstance(model, AttRH)
+        assert (isinstance(model, BaseH) and not isinstance(model, AttRH)) or \
+            isinstance(model, BaseLorentz)
+        self.family = "poincare" if isinstance(model, BaseH) else "lorentz"
         self.model = model
         self.tile_n = tile_n
         self.interpret = interpret
@@ -159,7 +207,8 @@ class PallasHypRanker:
         rhs_pad, bt_row = self._prep(params)
         lhs_pad, x2, c, t2, mask = self._qfn(params, q, fidx, rhs_pad, bt_row)
         counts = hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask,
-                                 tile_n=self.tile_n, interpret=self.interpret)
+                                 tile_n=self.tile_n, interpret=self.interpret,
+                                 family=self.family)
         return 1.0 + counts
 
 

@@ -67,7 +67,11 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto"):
     if backend in ("auto", "pallas"):
         try:
             from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
-            from complexhyperbolickge_tpu.models.hyperbolic import AttRH, BaseH
+            from complexhyperbolickge_tpu.models.hyperbolic import (
+                AttRH,
+                BaseH,
+                BaseLorentz,
+            )
 
             on_tpu = jax.devices()[0].platform != "cpu"
             want = on_tpu or backend == "pallas"
@@ -76,7 +80,9 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto"):
 
                 return make_pallas_ranker(model, eval_batch_size,
                                           interpret=not on_tpu)
-            if isinstance(model, BaseH) and not isinstance(model, AttRH) and want:
+            hyp_ok = (isinstance(model, BaseH) and not isinstance(model, AttRH)
+                      ) or isinstance(model, BaseLorentz)
+            if hyp_ok and want:
                 from complexhyperbolickge_tpu.kernels import make_pallas_hyp_ranker
 
                 return make_pallas_hyp_ranker(model, eval_batch_size,

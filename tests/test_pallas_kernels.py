@@ -48,7 +48,7 @@ def test_pallas_ranker_matches_dense(setup, direction):
     np.testing.assert_array_equal(ranks, dense)
 
 
-@pytest.mark.parametrize("name", ["RotH", "AttH", "IsoH"])
+@pytest.mark.parametrize("name", ["RotH", "AttH", "IsoH", "RotLH", "HyboNet"])
 @pytest.mark.parametrize("direction", ["rhs", "lhs"])
 def test_pallas_hyp_ranker_matches_dense(name, direction):
     from complexhyperbolickge_tpu.kernels import make_pallas_hyp_ranker
