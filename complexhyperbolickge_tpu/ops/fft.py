@@ -20,10 +20,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fft_dtype(dtype):
+    """XLA's FFT HLO only accepts f32/f64; bf16 round-trips through f32."""
+    return jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+
 def irfft_packed(v, n=None):
     """Packed (..., 2R) [Re | Im] -> real (..., n); n defaults to 2(R-1)."""
     r = v.shape[-1] // 2
-    zc = v[..., :r] + 1j * v[..., r:]
+    ft = _fft_dtype(v.dtype)
+    zc = v[..., :r].astype(ft) + 1j * v[..., r:].astype(ft)
     if n is None:
         n = 2 * (r - 1)
     return jnp.fft.irfft(zc, n=n, norm="ortho").astype(v.dtype)
@@ -31,7 +37,7 @@ def irfft_packed(v, n=None):
 
 def rfft_packed(x, n=None):
     """Real (..., n) -> packed (..., 2*(n//2 + 1)) [Re | Im]."""
-    z = jnp.fft.rfft(x, n=n, norm="ortho")
+    z = jnp.fft.rfft(x.astype(_fft_dtype(x.dtype)), n=n, norm="ortho")
     return jnp.concatenate([z.real, z.imag], axis=-1).astype(x.dtype)
 
 

@@ -86,6 +86,25 @@ def test_every_model_trains_one_epoch(data, name, rank):
     assert np.isfinite(losses).all()
 
 
+def test_bfloat16_training_smoke(data):
+    """bf16 params train finite (TPU-native precision option; ball eps table
+    has a bf16 entry, ops/math.py)."""
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=5,
+                      multi_c=True, dtype="bfloat16")
+    model = get_model("FFTRotH")(cfg)
+    tcfg = TrainConfig(learning_rate=0.05, batch_size=64, neg_sample_size=5)
+    trainer = Trainer(model, tcfg, n_ent, n_rel)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    b, w, _ = epoch_batches(data.get_examples("train"), 64,
+                            np.random.default_rng(0))
+    params, _, loss = trainer.run_epoch(params, opt_state, b, w,
+                                        jax.random.PRNGKey(1))
+    assert np.isfinite(loss)
+    for p in jax.tree.leaves(params):
+        assert np.isfinite(np.asarray(p, dtype=np.float32)).all()
+
+
 def test_checkpoint_roundtrip(tmp_path, data):
     model, trainer, params, opt_state, _ = _train(data, epochs=1,
                                                   neg_sample_size=5)
