@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_backend", default="auto",
                    choices=["auto", "dense", "pallas"],
                    help="ranking path: fused Pallas kernel or dense XLA")
+    p.add_argument("--mesh", default=None,
+                   help="device mesh 'DATAxMODEL' (e.g. 4x2): shard batches "
+                        "over 'data' and the entity table / eval score axis "
+                        "over 'model'; default single-device")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax profiler trace of one epoch here")
     p.add_argument("--debug_nans", action="store_true",
@@ -190,6 +194,16 @@ def train(args) -> dict:
     params, opt_state = trainer.init(init_key)
     logging.info("Total number of parameters %d", count_params(params))
 
+    mesh = None
+    if getattr(args, "mesh", None):
+        from complexhyperbolickge_tpu.parallel import make_mesh, shard_params
+
+        d, m = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh((d, m))
+        params = shard_params(params, mesh)
+        opt_state = trainer.tx.init(params)
+        logging.info("Mesh: data=%d model=%d over %d devices", d, m, d * m)
+
     train_examples = dataset.get_examples("train")
     valid_examples = dataset.get_examples("valid")
     labels = None
@@ -205,8 +219,15 @@ def train(args) -> dict:
         logging.info("Resumed from epoch %d", st["epoch"])
 
     rng = np.random.default_rng(args.seed)
-    rank_fn = make_best_ranker(model, args.eval_batch_size,
-                               getattr(args, "eval_backend", "auto"))
+    if mesh is not None and mesh.shape["model"] > 1 \
+            and sizes[0] % mesh.shape["model"] == 0 \
+            and not getattr(model, "is_gnn", False):
+        from complexhyperbolickge_tpu.parallel import make_sharded_ranker
+
+        rank_fn = make_sharded_ranker(model, mesh, sizes[0])
+    else:
+        rank_fn = make_best_ranker(model, args.eval_batch_size,
+                                   getattr(args, "eval_backend", "auto"))
     vb, vw, _ = epoch_batches(valid_examples, args.batch_size, None)
 
     sub_trainer = None
@@ -233,6 +254,14 @@ def train(args) -> dict:
                 batches, weights, lab_b = epoch_batches(
                     train_examples, args.batch_size, rng, labels
                 )
+                if mesh is not None:
+                    from complexhyperbolickge_tpu.parallel import (
+                        shard_epoch_arrays,
+                    )
+
+                    batches, weights, lab_b = shard_epoch_arrays(
+                        mesh, np.asarray(batches), np.asarray(weights), lab_b
+                    )
                 params, opt_state, train_loss = trainer.run_epoch(
                     params, opt_state, batches, weights, ek, labels=lab_b
                 )

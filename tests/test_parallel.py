@@ -96,6 +96,23 @@ def test_sharded_ranker_matches_dense(data, setup, mesh_shape):
     np.testing.assert_array_equal(np.concatenate(ranks), dense_ranks)
 
 
+def test_cli_with_mesh(tmp_path):
+    """Full CLI protocol with --mesh 4x2 on the virtual 8-device mesh
+    (DP-sharded training batches + entity-sharded shard_map eval)."""
+    from complexhyperbolickge_tpu.cli.run import build_parser, train
+
+    args = build_parser().parse_args([
+        "--dataset", "synthetic", "--model", "FFTRotH", "--rank", "5",
+        "--max_epochs", "1", "--valid", "1", "--batch_size", "128",
+        "--eval_batch_size", "64", "--neg_sample_size", "8",
+        "--optimizer", "Adam", "--learning_rate", "0.01", "--bias", "learn",
+        "--multi_c", "--dtype", "float32", "--mesh", "4x2",
+        "--save_dir", str(tmp_path),
+    ])
+    out = train(args)
+    assert 0.0 <= out["test"]["MRR"] <= 1.0
+
+
 def test_sharded_ranker_lhs_direction(data, setup):
     model, params = setup
     mesh = make_mesh((2, 4))
