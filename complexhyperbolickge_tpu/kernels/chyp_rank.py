@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from complexhyperbolickge_tpu.ops.chyperbolic import split_re_im, swap_neg
+from complexhyperbolickge_tpu.ops.chyperbolic import swap_neg
 from complexhyperbolickge_tpu.ops.math import ball_eps
 
 

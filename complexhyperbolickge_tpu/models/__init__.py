@@ -8,7 +8,6 @@ to the config; see models/gnn.py.
 
 from __future__ import annotations
 
-from complexhyperbolickge_tpu.models import base as _base
 from complexhyperbolickge_tpu.models.base import KGModel, ModelConfig  # noqa: F401
 from complexhyperbolickge_tpu.models.chyperbolic import (  # noqa: F401
     CHYP_MODELS,

@@ -21,7 +21,7 @@ SURVEY §2.4 fact 4); here 'constant' means `score + gamma`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

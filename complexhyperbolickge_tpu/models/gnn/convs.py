@@ -24,8 +24,6 @@ Reference quirks handled:
 from __future__ import annotations
 
 import math
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 

@@ -20,8 +20,6 @@ one jitted step XLA CSEs the duplicate encoder subgraphs away).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

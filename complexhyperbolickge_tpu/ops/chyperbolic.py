@@ -23,6 +23,7 @@ with <z,z>, <w,w> clamped into [-1, -eps] and x clamped to >= 1 + eps
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from complexhyperbolickge_tpu.ops.math import (
@@ -119,13 +120,8 @@ def _chyp_x(sr, si, znorm, wnorm, eps):
     return st_clip(x, 1 + eps, None)
 
 
-def chyp_distance(lhs, rhs):
-    """Broadcast complex-hyperbolic distance on packed-real inputs.
-
-    lhs: (..., 2R), rhs: (..., 2R) with standard numpy broadcasting across
-    leading dims (e.g. (B, 1, 2R) vs (B, K, 2R) in training).
-    Reference: Distance.forward, complexhyperbolic.py:213-237 (lift=True).
-    """
+def _chyp_distance_ad(lhs, rhs):
+    """Autodiff form of the broadcast distance (straight-through clamps)."""
     eps = ball_eps(lhs.dtype)
     zr, zi = split_re_im(lhs)
     wr, wi = split_re_im(rhs)
@@ -135,6 +131,73 @@ def chyp_distance(lhs, rhs):
     wnorm = hermitian_sqnorm_lifted(rhs)
     x = _chyp_x(sr, si, znorm, wnorm, eps)
     return jnp.arccosh(x)
+
+
+@jax.custom_vjp
+def _chyp_distance_core(lhs, rhs):
+    """Core train-mode distance: lhs (B, D) vs rhs (B, K, D) -> (B, K)."""
+    return _chyp_distance_ad(lhs[:, None, :], rhs)
+
+
+def _chyp_core_fwd(lhs, rhs):
+    eps = ball_eps(lhs.dtype)
+    zr, zi = split_re_im(lhs[:, None, :])
+    wr, wi = split_re_im(rhs)
+    sr = jnp.sum(zr * wr + zi * wi, axis=-1) - 1.0  # (B, K)
+    si = jnp.sum(zi * wr - zr * wi, axis=-1)
+    zn = jnp.clip(hermitian_sqnorm_lifted(lhs), -1.0, -eps)[:, None]  # (B, 1)
+    wn = jnp.clip(hermitian_sqnorm_lifted(rhs), -1.0, -eps)  # (B, K)
+    x = jnp.maximum(2 * (sr * sr + si * si) / (zn * wn) - 1.0, 1 + eps)
+    return jnp.arccosh(x), (lhs, rhs, sr, si, zn, wn, x)
+
+
+def _chyp_core_bwd(res, g):
+    """Analytic backward — the reference Distance.backward
+    (utils/complexhyperbolic.py:239-254) re-derived for the packed-real
+    layout: the unclamped gradient evaluated at the clamped forward values
+    (straight-through semantics).  Saves only (B, K) residuals, so the
+    backward touches each (B, K, D) tensor once instead of autodiff's many
+    rematerialized intermediates."""
+    lhs, rhs, sr, si, zn, wn, x = res
+    a2 = sr * sr + si * si
+    v = g / jnp.sqrt(x * x - 1.0)  # d acosh
+    inv_znwn = 1.0 / (zn * wn)
+    ca = v * 4.0 * sr * inv_znwn  # (B, K) coeff on the Re cross term
+    cb = v * 4.0 * si * inv_znwn  # coeff on the Im cross term
+    cw = v * (-4.0) * a2 * inv_znwn / wn  # coeff on rhs via wnorm (incl. d|w|^2)
+    cz = v * (-4.0) * a2 * inv_znwn / zn  # coeff on lhs via znorm
+
+    lhs_sw = swap_neg(lhs)  # (B, D)
+    d_rhs = (
+        ca[..., None] * lhs[:, None, :]
+        + cb[..., None] * lhs_sw[:, None, :]
+        + cw[..., None] * rhs
+    )
+    # d si / d lhs = -swap(rhs); swap is linear so sum first, swap once
+    m_a = jnp.einsum("bk,bkd->bd", ca, rhs)
+    m_b = jnp.einsum("bk,bkd->bd", cb, rhs)
+    d_lhs = m_a - swap_neg(m_b) + jnp.sum(cz, axis=1, keepdims=True) * lhs
+    return d_lhs, d_rhs
+
+
+_chyp_distance_core.defvjp(_chyp_core_fwd, _chyp_core_bwd)
+
+
+def chyp_distance(lhs, rhs):
+    """Broadcast complex-hyperbolic distance on packed-real inputs.
+
+    lhs: (..., 2R), rhs: (..., 2R) with standard numpy broadcasting across
+    leading dims (e.g. (B, 1, 2R) vs (B, K, 2R) in training).
+    Reference: Distance.forward, complexhyperbolic.py:213-237 (lift=True).
+
+    The training-shaped case (B, 1, D) vs (B, K, D) routes through a
+    custom-VJP core with the reference's analytic backward; other shapes use
+    plain autodiff with straight-through clamps (same gradients).
+    """
+    if lhs.ndim == 3 and rhs.ndim == 3 and lhs.shape[1] == 1 \
+            and lhs.shape[0] == rhs.shape[0]:
+        return _chyp_distance_core(lhs[:, 0, :], rhs)
+    return _chyp_distance_ad(lhs, rhs)
 
 
 def chyp_distance_all(lhs, rhs):

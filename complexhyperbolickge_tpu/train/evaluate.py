@@ -14,8 +14,6 @@ matrix itself comes from the models' all-pairs MXU form (score_all).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -273,6 +273,24 @@ def test_chyp_distance_grad_vs_reference_backward(rng):
     allclose(gw, tw.grad.squeeze(1), atol=1e-9)
 
 
+def test_chyp_core_vjp_vs_reference_backward(rng):
+    """The analytic custom-VJP core (train shapes (B,D) vs (B,K,D)) must
+    reproduce the reference's hand-written Distance.backward."""
+    rank, K = 9, 5
+    z = _packed_ball_points(rng, B, rank)
+    w = _packed_ball_points(rng, B * K, rank).reshape(B, K, 2 * rank)
+    tz = t(z)[:, None, :].requires_grad_(True)
+    tw = t(w).requires_grad_(True)
+    ref_chyp.Distance.apply(tz, tw, 1, True).sum().backward()
+    import jax
+
+    gz, gw = jax.grad(
+        lambda a, b: CH._chyp_distance_core(a, b).sum(), argnums=(0, 1)
+    )(jnp.asarray(z), jnp.asarray(w))
+    allclose(gz, tz.grad.squeeze(1), atol=1e-9)
+    allclose(gw, tw.grad, atol=1e-9)
+
+
 def test_chyp_distance_all_matches_broadcast(rng):
     rank = 9
     z = _packed_ball_points(rng, B, rank)
