@@ -49,8 +49,12 @@ class TrainConfig:
 
 
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
-    if name == "Adam" or name == "SparseAdam":
+    if name == "Adam":
         return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if name == "SparseAdam":
+        from complexhyperbolickge_tpu.train.sparse_adam import sparse_adam
+
+        return sparse_adam(lr)
     if name == "Adagrad":
         return optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
     if name == "SGD":  # not in the reference's choices; used by parity tests
