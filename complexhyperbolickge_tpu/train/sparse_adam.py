@@ -45,8 +45,6 @@ def sparse_adam(lr: float, b1: float = 0.9, b2: float = 0.999,
     def update(grads, state, params=None):
         del params
         t = state.step + 1
-        bc1 = 1.0 - b1 ** t.astype(jnp.float32)
-        bc2 = 1.0 - b2 ** t.astype(jnp.float32)
 
         def row_touched(g):
             if g.ndim >= 2:
@@ -71,6 +69,9 @@ def sparse_adam(lr: float, b1: float = 0.9, b2: float = 0.999,
 
         def step_fn(m, v, g):
             # torch form: step_size = lr*sqrt(bc2)/bc1; denom = sqrt(v) + eps
+            tf = t.astype(g.dtype)
+            bc1 = 1.0 - jnp.asarray(b1, g.dtype) ** tf
+            bc2 = 1.0 - jnp.asarray(b2, g.dtype) ** tf
             w = bcast(row_touched(g), g)
             return -(lr * jnp.sqrt(bc2) / bc1) * w * m / (jnp.sqrt(v) + eps)
 
