@@ -3,7 +3,7 @@
 Mirrors the reference registry (models/__init__.py:9): 24 model names =
 EUC + HYP + COMPLEX + CHYP + HYP_GNN + EUC_GNN.  The GNN encoder models
 (PoincareGCN, LorentzGCN, CompGCN) take the KG graph structure in addition
-to the config; see models/gnn.py.
+to the config; see models/gnn/.
 """
 
 from __future__ import annotations
