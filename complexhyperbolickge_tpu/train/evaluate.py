@@ -105,9 +105,10 @@ def get_ranking(model, params, pack, batch_size: int = 500, rank_fn=None):
     ranks = []
     for i in range(nb):
         s = slice(i * batch_size, (i + 1) * batch_size)
-        r = rank_fn(params, jnp.asarray(q[s]), jnp.asarray(fidx[s]))
-        ranks.append(np.asarray(r))
-    out = np.concatenate(ranks)[:n]
+        # keep results on device: batches pipeline through jax's async
+        # dispatch instead of syncing to host every iteration
+        ranks.append(rank_fn(params, jnp.asarray(q[s]), jnp.asarray(fidx[s])))
+    out = np.concatenate([np.asarray(r) for r in ranks])[:n]
     assert np.isfinite(out).all()
     return out
 

@@ -120,6 +120,23 @@ def test_checkpoint_roundtrip(tmp_path, data):
     trainer.run_epoch(st["params"], st["opt_state"], b, w, jax.random.PRNGKey(1))
 
 
+def test_cli_resume(tmp_path):
+    """--resume restores epoch counter + full optimizer state and continues."""
+    from complexhyperbolickge_tpu.cli.run import build_parser, train
+
+    base = [
+        "--dataset", "synthetic", "--model", "RotE", "--rank", "6",
+        "--valid", "1", "--patience", "5", "--batch_size", "256",
+        "--eval_batch_size", "128", "--neg_sample_size", "5",
+        "--optimizer", "Adam", "--learning_rate", "0.01",
+        "--dtype", "float32", "--save_dir", str(tmp_path),
+    ]
+    train(build_parser().parse_args(base + ["--max_epochs", "1"]))
+    out = train(build_parser().parse_args(
+        base + ["--max_epochs", "2", "--resume"]))
+    assert 0.0 <= out["test"]["MRR"] <= 1.0
+
+
 def test_cli_full_protocol(tmp_path):
     from complexhyperbolickge_tpu.cli.run import build_parser, train
     from complexhyperbolickge_tpu.cli.test import test as eval_cli
