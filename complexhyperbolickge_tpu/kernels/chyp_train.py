@@ -1,0 +1,198 @@
+"""Fused Pallas kernels for TRAIN-mode complex-hyperbolic scoring.
+
+The per-query-negatives training step is bound by the (B, K, D) elementwise
+distance chain and its autodiff backward (profiled at ~61% of the step in
+three XLA mega-fusions with ~52% lane utilization at D=66).  These kernels
+compute the forward distance in ONE pass over the gathered candidate rows
+and the backward in one more pass, with only (B, K) residuals in between —
+the hand-written-backward idea of the reference's Distance Function
+(utils/complexhyperbolic.py:191-254) pushed down to a fused TPU kernel.
+
+Semantics are identical to ops.chyperbolic._chyp_distance_core (analytic
+unclamped gradient evaluated at clamped forward values — straight-through
+clamps).  Enabled via ops.chyperbolic.set_fused_train_scorer(True) (the
+Trainer turns it on automatically on TPU); every other path is unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from complexhyperbolickge_tpu.ops.math import ball_eps
+
+
+def _fwd_kernel(lhs_ref, lsw_ref, zn_ref, rhs_ref, d_ref, sr_ref, si_ref,
+                wn_ref, x_ref, *, eps: float):
+    lhs = lhs_ref[:]  # (Bt, D)
+    lsw = lsw_ref[:]
+    rhs = rhs_ref[:]  # (Bt, K, D)
+    sr = jnp.sum(rhs * lhs[:, None, :], axis=2) - 1.0  # (Bt, K)
+    si = jnp.sum(rhs * lsw[:, None, :], axis=2)
+    wn = jnp.clip(jnp.sum(rhs * rhs, axis=2) - 1.0, -1.0, -eps)
+    zn = zn_ref[:]  # (Bt, 1) pre-clamped
+    x = jnp.maximum(2.0 * (sr * sr + si * si) / (zn * wn) - 1.0, 1.0 + eps)
+    d_ref[:] = jnp.log(x + jnp.sqrt(x * x - 1.0))  # acosh
+    sr_ref[:] = sr
+    si_ref[:] = si
+    wn_ref[:] = wn
+    x_ref[:] = x
+
+
+def _bwd_kernel(g_ref, lhs_ref, lsw_ref, zn_ref, rhs_ref, sr_ref, si_ref,
+                wn_ref, x_ref, drhs_ref, ma_ref, mb_ref, czs_ref):
+    g = g_ref[:]
+    sr, si, wn, x = sr_ref[:], si_ref[:], wn_ref[:], x_ref[:]
+    zn = zn_ref[:]
+    lhs, lsw, rhs = lhs_ref[:], lsw_ref[:], rhs_ref[:]
+
+    a2 = sr * sr + si * si
+    v = g / jnp.sqrt(x * x - 1.0)
+    inv = 1.0 / (zn * wn)
+    ca = 4.0 * v * sr * inv  # (Bt, K)
+    cb = 4.0 * v * si * inv
+    cw = -4.0 * v * a2 * inv / wn
+    cz = -4.0 * v * a2 * inv / zn
+
+    drhs_ref[:] = (
+        ca[..., None] * lhs[:, None, :]
+        + cb[..., None] * lsw[:, None, :]
+        + cw[..., None] * rhs
+    )
+    ma_ref[:] = jnp.sum(ca[..., None] * rhs, axis=1)  # (Bt, D)
+    mb_ref[:] = jnp.sum(cb[..., None] * rhs, axis=1)
+    czs_ref[:] = jnp.sum(cz, axis=1, keepdims=True)  # (Bt, 1)
+
+
+def _block(i_map, *shape):
+    return pl.BlockSpec(shape, i_map, memory_space=pltpu.VMEM)
+
+
+def _fwd_call(lhs, lsw, zn, rhs, *, bt: int, interpret: bool):
+    b, d = lhs.shape
+    k = rhs.shape[1]
+    eps = float(ball_eps(jnp.float32))
+    grid = (b // bt,)
+    outs = [jax.ShapeDtypeStruct((b, k), jnp.float32) for _ in range(5)]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, eps=eps),
+        out_shape=outs,
+        grid=grid,
+        in_specs=[
+            _block(lambda i: (i, 0), bt, d),
+            _block(lambda i: (i, 0), bt, d),
+            _block(lambda i: (i, 0), bt, 1),
+            _block(lambda i: (i, 0, 0), bt, k, d),
+        ],
+        out_specs=[_block(lambda i: (i, 0), bt, k) for _ in range(5)],
+        interpret=interpret,
+    )(lhs, lsw, zn, rhs)
+
+
+def _bwd_call(g, lhs, lsw, zn, rhs, sr, si, wn, x, *, bt: int,
+              interpret: bool):
+    b, d = lhs.shape
+    k = rhs.shape[1]
+    grid = (b // bt,)
+    outs = [
+        jax.ShapeDtypeStruct((b, k, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+    ]
+    bk = lambda i: (i, 0)
+    return pl.pallas_call(
+        _bwd_kernel,
+        out_shape=outs,
+        grid=grid,
+        in_specs=[
+            _block(bk, bt, k),
+            _block(bk, bt, d),
+            _block(bk, bt, d),
+            _block(bk, bt, 1),
+            _block(lambda i: (i, 0, 0), bt, k, d),
+            _block(bk, bt, k),
+            _block(bk, bt, k),
+            _block(bk, bt, k),
+            _block(bk, bt, k),
+        ],
+        out_specs=[
+            _block(lambda i: (i, 0, 0), bt, k, d),
+            _block(bk, bt, d),
+            _block(bk, bt, d),
+            _block(bk, bt, 1),
+        ],
+        interpret=interpret,
+    )(g, lhs, lsw, zn, rhs, sr, si, wn, x)
+
+
+_BT = 64  # batch tile; inputs are zero-padded to a multiple of this
+
+
+def _pad_rows(a, bp):
+    if a.shape[0] == bp:
+        return a
+    pad = [(0, bp - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad)
+
+
+# Interpreter mode for CPU tests (nondiff_argnums on custom_vjp trips a
+# lowering-cache bug in this jax version, so this is a module flag read at
+# trace time rather than an argument).
+INTERPRET = False
+
+
+@jax.custom_vjp
+def chyp_train_distance(lhs, rhs):
+    """Fused train-mode distance: lhs (B, D) vs rhs (B, K, D) -> (B, K).
+
+    Numerics and gradients identical to
+    ops.chyperbolic._chyp_distance_core; forward + backward are single-pass
+    Pallas kernels with (B, K) residuals.
+    """
+    d, _ = _fwd_pieces(lhs, rhs, INTERPRET)
+    return d
+
+
+def _swap(v):
+    r = v.shape[-1] // 2
+    return jnp.concatenate([v[..., r:], -v[..., :r]], axis=-1)
+
+
+def _fwd_pieces(lhs, rhs, interpret):
+    """Returns distances sliced to the true batch plus PADDED residuals
+    (padding rows are zeros; their clamps saturate harmlessly)."""
+    b = lhs.shape[0]
+    bp = -(-b // _BT) * _BT
+    lhs_p = _pad_rows(lhs, bp)
+    rhs_p = _pad_rows(rhs, bp)
+    eps = ball_eps(jnp.float32)
+    lsw = _swap(lhs_p)
+    zn = jnp.clip(jnp.sum(lhs_p * lhs_p, axis=-1, keepdims=True) - 1.0,
+                  -1.0, -eps)
+    d, sr, si, wn, x = _fwd_call(lhs_p, lsw, zn, rhs_p, bt=min(_BT, bp),
+                                 interpret=interpret)
+    return d[:b], (lhs_p, lsw, zn, rhs_p, sr, si, wn, x)
+
+
+def _ctd_fwd(lhs, rhs):
+    d, res = _fwd_pieces(lhs, rhs, INTERPRET)
+    return d, (lhs.shape[0], res)
+
+
+def _ctd_bwd(carry, g):
+    b, (lhs_p, lsw, zn, rhs_p, sr, si, wn, x) = carry
+    g_p = _pad_rows(g, lhs_p.shape[0])
+    d_rhs, m_a, m_b, cz_sum = _bwd_call(
+        g_p, lhs_p, lsw, zn, rhs_p, sr, si, wn, x,
+        bt=min(_BT, lhs_p.shape[0]), interpret=INTERPRET,
+    )
+    d_lhs = m_a - _swap(m_b) + cz_sum * lhs_p
+    return d_lhs[:b], d_rhs[:b]
+
+
+chyp_train_distance.defvjp(_ctd_fwd, _ctd_bwd)

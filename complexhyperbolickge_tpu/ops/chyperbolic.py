@@ -183,6 +183,17 @@ def _chyp_core_bwd(res, g):
 _chyp_distance_core.defvjp(_chyp_core_fwd, _chyp_core_bwd)
 
 
+_FUSED_TRAIN_SCORER = False
+
+
+def set_fused_train_scorer(on: bool):
+    """Route train-shape distances through the fused Pallas forward+VJP
+    kernels (kernels/chyp_train.py).  f32 only; enabled by the Trainer on
+    TPU.  Affects functions traced AFTER the call."""
+    global _FUSED_TRAIN_SCORER
+    _FUSED_TRAIN_SCORER = bool(on)
+
+
 def chyp_distance(lhs, rhs):
     """Broadcast complex-hyperbolic distance on packed-real inputs.
 
@@ -191,11 +202,18 @@ def chyp_distance(lhs, rhs):
     Reference: Distance.forward, complexhyperbolic.py:213-237 (lift=True).
 
     The training-shaped case (B, 1, D) vs (B, K, D) routes through a
-    custom-VJP core with the reference's analytic backward; other shapes use
-    plain autodiff with straight-through clamps (same gradients).
+    custom-VJP core with the reference's analytic backward (optionally the
+    fused Pallas kernels — set_fused_train_scorer); other shapes use plain
+    autodiff with straight-through clamps (same gradients).
     """
     if lhs.ndim == 3 and rhs.ndim == 3 and lhs.shape[1] == 1 \
             and lhs.shape[0] == rhs.shape[0]:
+        if _FUSED_TRAIN_SCORER and lhs.dtype == jnp.float32:
+            from complexhyperbolickge_tpu.kernels.chyp_train import (
+                chyp_train_distance,
+            )
+
+            return chyp_train_distance(lhs[:, 0, :], rhs)
         return _chyp_distance_core(lhs[:, 0, :], rhs)
     return _chyp_distance_ad(lhs, rhs)
 

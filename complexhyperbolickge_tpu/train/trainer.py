@@ -46,6 +46,11 @@ class TrainConfig:
     smoothing: Optional[float] = None
     double_neg: bool = False
     neg_mode: str = "per_query"  # per_query (reference) | shared (MXU matmuls)
+    # Fused Pallas train-mode scorer (kernels/chyp_train.py).  Measured
+    # perf-neutral vs XLA's own fusion of the same chain on v5e (the step is
+    # bound by the candidate gather/scatter, not the distance math), so off
+    # by default; kept as a verified building block.
+    fused_scorer: bool = False
 
 
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
@@ -79,6 +84,12 @@ class Trainer:
         )
         if cfg.neg_mode == "shared" and getattr(model, "is_gnn", False):
             raise ValueError("neg_mode='shared' is not supported for GNN models")
+        if cfg.fused_scorer and jax.devices()[0].platform == "tpu":
+            from complexhyperbolickge_tpu.ops.chyperbolic import (
+                set_fused_train_scorer,
+            )
+
+            set_fused_train_scorer(True)
         self._epoch_fn = self._build_epoch_fn()
         self._valid_fn = self._build_valid_fn()
 
