@@ -38,12 +38,13 @@ def make_ranker(model, eval_batch_size: int):
             scores = scores.at[rows, fidx].set(-1e6, mode="drop")
             return 1.0 + jnp.sum(scores >= target, axis=1).astype(jnp.float32)
 
-        state = {"pid": None, "cache": None}
+        # cache keyed on the params OBJECT, held by strong reference (an id()
+        # key could alias a new pytree allocated at a freed address)
+        state = {"params": None, "cache": None}
 
         def rank_batch(params, q, fidx):
-            pid = id(jax.tree.leaves(params)[0])
-            if state["pid"] != pid:
-                state["pid"], state["cache"] = pid, encode(params)
+            if state["params"] is not params:
+                state["params"], state["cache"] = params, encode(params)
             return rank_core(params, state["cache"], q, fidx)
 
         return rank_batch
