@@ -35,7 +35,7 @@ class SparseAdamState(NamedTuple):
     step: jnp.ndarray
 
 
-def sparse_adam(lr: float, b1: float = 0.9, b2: float = 0.999,
+def sparse_adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
                 eps: float = 1e-8) -> optax.GradientTransformation:
     def init(params):
         mu = jax.tree.map(jnp.zeros_like, params)
@@ -73,7 +73,7 @@ def sparse_adam(lr: float, b1: float = 0.9, b2: float = 0.999,
             bc1 = 1.0 - jnp.asarray(b1, g.dtype) ** tf
             bc2 = 1.0 - jnp.asarray(b2, g.dtype) ** tf
             w = bcast(row_touched(g), g)
-            return -(lr * jnp.sqrt(bc2) / bc1) * w * m / (jnp.sqrt(v) + eps)
+            return -(learning_rate * jnp.sqrt(bc2) / bc1) * w * m / (jnp.sqrt(v) + eps)
 
         updates = jax.tree.map(step_fn, mu, nu, grads)
         return updates, SparseAdamState(mu, nu, t)

@@ -54,17 +54,34 @@ class TrainConfig:
 
 
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
+    """All optimizers are wrapped in inject_hyperparams so the learning rate
+    lives in the optimizer STATE — enabling reduce_lr (the reference
+    KGOptimizer.reduce_lr, kg_optimizer.py:57-64) without recompilation."""
     if name == "Adam":
-        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8
+        )
     if name == "SparseAdam":
         from complexhyperbolickge_tpu.train.sparse_adam import sparse_adam
 
-        return sparse_adam(lr)
+        return optax.inject_hyperparams(sparse_adam)(learning_rate=lr)
     if name == "Adagrad":
-        return optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+        return optax.inject_hyperparams(optax.adagrad)(
+            learning_rate=lr, initial_accumulator_value=0.0, eps=1e-10
+        )
     if name == "SGD":  # not in the reference's choices; used by parity tests
-        return optax.sgd(lr)
+        return optax.inject_hyperparams(optax.sgd)(learning_rate=lr)
     raise ValueError(f"unknown optimizer {name!r}")
+
+
+def reduce_lr(opt_state, factor: float = 0.8):
+    """Scale the in-state learning rate (reference kg_optimizer.py:57-64)."""
+    return opt_state._replace(
+        hyperparams={
+            **opt_state.hyperparams,
+            "learning_rate": opt_state.hyperparams["learning_rate"] * factor,
+        }
+    )
 
 
 class Trainer:

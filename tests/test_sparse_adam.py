@@ -80,3 +80,20 @@ def test_sparse_adam_trains_end_to_end():
             params, opt_state, b, w, jax.random.PRNGKey(i))
         losses.append(loss)
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_reduce_lr():
+    """reduce_lr scales the in-state learning rate (reference
+    kg_optimizer.py:57-64)."""
+    import jax.numpy as jnp
+
+    from complexhyperbolickge_tpu.train.trainer import make_optimizer, reduce_lr
+
+    tx = make_optimizer("Adam", 0.1)
+    st = tx.init({"w": jnp.ones((3,))})
+    st2 = reduce_lr(st, 0.8)
+    np.testing.assert_allclose(float(st2.hyperparams["learning_rate"]), 0.08)
+    # the reduced state still drives updates
+    g = {"w": jnp.ones((3,))}
+    up, _ = tx.update(g, st2, {"w": jnp.ones((3,))})
+    assert np.isfinite(np.asarray(up["w"])).all()
