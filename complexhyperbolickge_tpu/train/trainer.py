@@ -9,8 +9,8 @@ Optimizer parity:
   * Adam  -> optax.adam with torch defaults (betas 0.9/0.999, eps 1e-8)
   * Adagrad -> optax.adagrad with torch defaults (initial accumulator 0,
     eps 1e-10) — reference run.py:205 uses torch.optim defaults
-  * SparseAdam -> dense adam (TPU gradients of embedding gathers are dense
-    scatter-adds; a dedicated sparse-row update is a later optimization)
+  * SparseAdam -> train/sparse_adam.py, a lazy row-sparse Adam verified
+    step-identical to torch.optim.SparseAdam
 
 Gradient accumulation (`update_steps`, reference kg_optimizer.py:262-270):
 gradients are SUMMED over k batches (torch .backward() accumulates by sum)
@@ -58,19 +58,19 @@ def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
     lives in the optimizer STATE — enabling reduce_lr (the reference
     KGOptimizer.reduce_lr, kg_optimizer.py:57-64) without recompilation."""
     if name == "Adam":
-        return optax.inject_hyperparams(optax.adam)(
+        return optax.inject_hyperparams(optax.adam, hyperparam_dtype=jnp.float32)(
             learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8
         )
     if name == "SparseAdam":
         from complexhyperbolickge_tpu.train.sparse_adam import sparse_adam
 
-        return optax.inject_hyperparams(sparse_adam)(learning_rate=lr)
+        return optax.inject_hyperparams(sparse_adam, hyperparam_dtype=jnp.float32)(learning_rate=lr)
     if name == "Adagrad":
-        return optax.inject_hyperparams(optax.adagrad)(
+        return optax.inject_hyperparams(optax.adagrad, hyperparam_dtype=jnp.float32)(
             learning_rate=lr, initial_accumulator_value=0.0, eps=1e-10
         )
     if name == "SGD":  # not in the reference's choices; used by parity tests
-        return optax.inject_hyperparams(optax.sgd)(learning_rate=lr)
+        return optax.inject_hyperparams(optax.sgd, hyperparam_dtype=jnp.float32)(learning_rate=lr)
     raise ValueError(f"unknown optimizer {name!r}")
 
 
