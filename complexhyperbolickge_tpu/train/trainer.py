@@ -74,6 +74,30 @@ def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {name!r}")
 
 
+def _f32_state_for_bf16(tx: optax.GradientTransformation):
+    """Keep optimizer state/arithmetic in f32 when params are bfloat16
+    (bf16 moments both lose precision and clash with the f32 hyperparams
+    inside lax.scan carries); updates are cast back to the param dtype.
+    f32/f64 params pass through untouched."""
+
+    def up(t):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x, t
+        )
+
+    def init(params):
+        return tx.init(up(params))
+
+    def update(grads, state, params=None):
+        dtypes = jax.tree.map(lambda g: g.dtype, grads)
+        updates, state = tx.update(up(grads), state,
+                                   None if params is None else up(params))
+        updates = jax.tree.map(lambda u, d: u.astype(d), updates, dtypes)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def reduce_lr(opt_state, factor: float = 0.8):
     """Scale the in-state learning rate (reference kg_optimizer.py:57-64)."""
     return opt_state._replace(
@@ -93,7 +117,9 @@ class Trainer:
         self.cfg = cfg
         self.n_entities = n_entities
         self.n_relations = n_relations
-        self.tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+        self.tx = _f32_state_for_bf16(
+            make_optimizer(cfg.optimizer, cfg.learning_rate)
+        )
         self.reg_fn = get_regularizer(cfg.regularizer)
         self._with_labels = (
             cfg.neg_sample_size <= 0
