@@ -189,8 +189,8 @@ def train(args) -> dict:
     )
     trainer = Trainer(model, tcfg, sizes[0], sizes[1])
 
-    key = jax.random.PRNGKey(args.seed)
-    key, init_key = jax.random.split(key)
+    base_key = jax.random.PRNGKey(args.seed)
+    _, init_key = jax.random.split(base_key)
     params, opt_state = trainer.init(init_key)
     logging.info("Total number of parameters %d", count_params(params))
 
@@ -206,9 +206,13 @@ def train(args) -> dict:
 
     train_examples = dataset.get_examples("train")
     valid_examples = dataset.get_examples("valid")
-    labels = None
+    labels, valid_labels = None, None
     if tcfg.neg_sample_size <= 0 and tcfg.loss == "binarycrossentropy":
         _, labels = dataset.label_pack("train")
+        # reference calculate_valid_loss takes (examples, labels) tuples for
+        # the BCE path (kg_optimizer.py:221-236); valid labels come from
+        # train+valid facts (KGDataset2.valid_filter, kg_dataset.py:85)
+        _, valid_labels = dataset.label_pack("valid")
 
     start_epoch, best_mrr, best_epoch, counter = 1, None, None, 0
     if args.resume and os.path.exists(os.path.join(save_dir, "state.pkl")):
@@ -218,7 +222,6 @@ def train(args) -> dict:
         best_mrr = st["best_mrr"]
         logging.info("Resumed from epoch %d", st["epoch"])
 
-    rng = np.random.default_rng(args.seed)
     if mesh is not None and mesh.shape["model"] > 1 \
             and sizes[0] % mesh.shape["model"] == 0 \
             and not getattr(model, "is_gnn", False):
@@ -228,7 +231,8 @@ def train(args) -> dict:
     else:
         rank_fn = make_best_ranker(model, args.eval_batch_size,
                                    getattr(args, "eval_backend", "auto"))
-    vb, vw, _ = epoch_batches(valid_examples, args.batch_size, None)
+    vb, vw, vlab = epoch_batches(valid_examples, args.batch_size, None,
+                                 valid_labels)
 
     sub_trainer = None
     if getattr(args, "subgraph", False):
@@ -241,7 +245,12 @@ def train(args) -> dict:
     logging.info("\t Start training")
     for epoch in range(start_epoch, args.max_epochs + 1):
         t0 = time.perf_counter()
-        key, ek, vk = jax.random.split(key, 3)
+        # keys and shuffles derive from (seed, epoch), not an advancing
+        # stream, so --resume reproduces the exact train/valid sequence a
+        # continuous run would produce
+        ek = jax.random.fold_in(base_key, 2 * epoch)
+        vk = jax.random.fold_in(base_key, 2 * epoch + 1)
+        rng = np.random.default_rng([args.seed, epoch])
         profile_dir = args.profile_dir if (
             getattr(args, "profile_dir", None) and epoch == start_epoch + 1
         ) else None
@@ -270,7 +279,7 @@ def train(args) -> dict:
             "\t Epoch %d | average train loss: %.4f | %.0f triples/s",
             epoch, train_loss, len(train_examples) / dt,
         )
-        valid_loss = trainer.valid_loss(params, vb, vw, vk)
+        valid_loss = trainer.valid_loss(params, vb, vw, vk, labels=vlab)
         logging.info("\t Epoch %d | average valid loss: %.4f", epoch, valid_loss)
 
         if epoch % args.valid == 0:

@@ -19,7 +19,6 @@ friendly structures:
 
 from __future__ import annotations
 
-import collections
 import dataclasses
 import os
 import pickle
@@ -53,6 +52,8 @@ class KGData:
                 filters = pickle.load(f)
         self.data = {s: np.asarray(v, dtype=np.int64) for s, v in splits.items()}
         self.to_skip = filters
+        self._label_cache: dict = {}
+        self._eval_cache: dict = {}
         mx = np.max(self.data["train"], axis=0)
         self.n_entities = int(max(mx[0], mx[2]) + 1)
         # doubled relation count (with inverses), reference kg_dataset.py:39-41
@@ -98,8 +99,12 @@ class KGData:
         inverse relation: queries become (t, r + n_rel/2, h)
         (reference models/base.py:313-314).  Every row's filter list gets the
         gold tail appended (base.py:266-267), so the padded array always has
-        at least one valid entry.
+        at least one valid entry.  Cached per (split, direction, rel_idx) —
+        compute_metrics is called every --valid epochs.
         """
+        ck = (split, direction, rel_idx)
+        if ck in self._eval_cache:
+            return self._eval_cache[ck]
         ex = self.get_examples(split, rel_idx=rel_idx).astype(np.int64)
         if direction == "lhs":
             ex = np.stack(
@@ -115,25 +120,56 @@ class KGData:
         for i, l in enumerate(lists):
             fidx[i, : len(l)] = l
             fidx[i, len(l)] = ex[i, 2]
-        return EvalPack(queries=ex.astype(np.int32), filter_idx=fidx)
+        pack = EvalPack(queries=ex.astype(np.int32), filter_idx=fidx)
+        self._eval_cache[ck] = pack
+        return pack
 
     def label_pack(self, split: str):
-        """Padded true-tail lists per training example, for the BCE loss.
+        """Padded true-tail lists per example, for the BCE loss.
 
-        Row i of the result holds all true tails of (h_i, r_i) across the
-        split (reference KGDataset2 builds the same information as CSR label
-        matrices, kg_dataset.py:87-119).  Padding value = n_entities.
+        Row i holds all true tails of query (h_i, r_i).  Label sources match
+        the reference KGDataset2 (kg_dataset.py:75-130): the train pack's
+        labels come from train facts only (train_filter); the valid pack's
+        labels come from train AND valid facts (valid_filter = deep-copied
+        train_filter extended with valid examples).  Both directions
+        contribute — each raw fact (h, r, t) yields key (h, r) -> t and
+        inverse key (t, r + n_rel) -> h.  Padding value = n_entities
+        (dropped by the in-step scatter, train/losses.py:dense_labels).
+
+        Fully vectorized (sort + searchsorted group lookup) and cached per
+        split — the reference rebuilds scipy CSR matrices per call.
         """
-        ex = self.get_examples(split).astype(np.int64)
-        by_query = collections.defaultdict(list)
-        for h, r, t in ex:
-            by_query[(int(h), int(r))].append(int(t))
-        lmax = max(len(v) for v in by_query.values())
-        lab = np.full((len(ex), lmax), self.n_entities, dtype=np.int32)
-        for i, (h, r, _) in enumerate(ex):
-            tails = by_query[(int(h), int(r))]
-            lab[i, : len(tails)] = tails
-        return ex.astype(np.int32), lab
+        if split in self._label_cache:
+            return self._label_cache[split]
+        sources = {"train": ("train",), "valid": ("train", "valid")}[split]
+        n_rel = self.n_predicates // 2
+        ex_src = np.concatenate([self.data[s] for s in sources], axis=0)
+        if self.debug:
+            ex_src = ex_src[:1000]
+        fwd = ex_src
+        bwd = np.stack([ex_src[:, 2], ex_src[:, 1] + n_rel, ex_src[:, 0]], axis=1)
+        pairs = np.concatenate([fwd, bwd], axis=0).astype(np.int64)
+        key_lab = np.unique(  # dedup (query, label) pairs, sorted by key
+            np.stack([pairs[:, 0] * self.n_predicates + pairs[:, 1],
+                      pairs[:, 2]], axis=1),
+            axis=0,
+        )
+        keys, labels = key_lab[:, 0], key_lab[:, 1]
+
+        rows = self.get_examples(split).astype(np.int64)
+        qkeys = rows[:, 0] * self.n_predicates + rows[:, 1]
+        starts = np.searchsorted(keys, qkeys, side="left")
+        ends = np.searchsorted(keys, qkeys, side="right")
+        lens = ends - starts
+        lmax = int(lens.max()) if len(lens) else 1
+        cols = np.arange(lmax)
+        take = np.minimum(starts[:, None] + cols[None, :], len(labels) - 1)
+        lab = np.where(
+            cols[None, :] < lens[:, None], labels[take], self.n_entities
+        ).astype(np.int32)
+        out = (rows.astype(np.int32), lab)
+        self._label_cache[split] = out
+        return out
 
 
 def synthetic_kg(n_entities: int = 200, n_relations: int = 11,

@@ -79,6 +79,9 @@ class Subgraph:
     n_nodes: int
     n_edges: int
     overflow: int
+    # 1 per real seed query, 0 for rows padding the final partial batch of an
+    # epoch up to batch_size (masked out of the loss by SubgraphTrainer)
+    query_weight: np.ndarray | None = None
 
 
 class NeighborSampler:
@@ -162,7 +165,11 @@ class NeighborSampler:
             nn.ctypes.data_as(_I64P), ne.ctypes.data_as(_I64P),
             ov.ctypes.data_as(_I64P),
         )
-        assert rc == 0, f"kgs_sample failed: {rc}"
+        assert rc == 0, (
+            f"kgs_sample failed: rc={rc}"
+            + (" (seed endpoints exceed max_nodes; raise max_nodes or lower "
+               "batch_size)" if rc == -2 else "")
+        )
         return self._pack(nodes, edges.reshape(-1, 3), tmask,
                           queries.reshape(-1, 3), int(nn[0]), int(ne[0]),
                           int(ov[0]))
@@ -222,6 +229,11 @@ class NeighborSampler:
         queries = np.stack(
             [lut[e[seeds, 0]], e[seeds, 1], lut[e[seeds, 2]]], axis=1
         )
+        if (queries[:, [0, 2]] < 0).any():
+            raise RuntimeError(
+                "seed endpoints exceed max_nodes; raise max_nodes or lower "
+                "batch_size"
+            )
         nodes_pad = np.full(self.max_nodes, -1, np.int64)
         nodes_pad[: len(node_arr)] = node_arr
         edges_pad = np.full((self.max_edges, 3), -1, np.int64)
@@ -248,11 +260,27 @@ class NeighborSampler:
 
     def epoch(self, batch_size: int, rng: np.random.Generator, seed_base: int = 0):
         """Shuffled seed-edge batches over the TRAIN edges (the reference's
-        LinkNeighborLoader(shuffle=True) over train_mask edges)."""
+        LinkNeighborLoader(shuffle=True) over train_mask edges).
+
+        The final partial batch is PADDED to batch_size by repeating its
+        first seed, with the padded query rows masked via query_weight — the
+        reference's loader yields the ragged tail batch; dropping it (as this
+        method once did) silently skipped up to batch_size-1 train edges per
+        epoch.
+        """
         order = rng.permutation(self.n_train_edges)
-        for i in range(0, self.n_train_edges - batch_size + 1, batch_size):
+        for i in range(0, self.n_train_edges, batch_size):
             seeds = order[i : i + batch_size]
-            yield self.sample(seeds, seed=seed_base + i)
+            n_real = len(seeds)
+            if n_real < batch_size:
+                seeds = np.concatenate(
+                    [seeds, np.broadcast_to(seeds[:1], (batch_size - n_real,))]
+                )
+            sub = self.sample(seeds, seed=seed_base + i)
+            qw = np.ones(batch_size, np.float32)
+            qw[n_real:] = 0.0
+            sub.query_weight = qw
+            yield sub
 
     def __del__(self):
         if getattr(self, "_handle", None):

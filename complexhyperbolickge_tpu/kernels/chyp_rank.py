@@ -134,6 +134,11 @@ class PallasChypRanker:
         self.interpret = interpret
         self._prep = jax.jit(self._prepare_tables)
         self._qfn = jax.jit(self._queries_and_mask)
+        # padded tables cached per params version, keyed by a STRONG
+        # reference to the params object (an id() key could alias a new
+        # pytree allocated at a freed address)
+        self._tables_params = None
+        self._tables = None
 
     # --------------------------- per-params prep ----------------------------
 
@@ -191,7 +196,9 @@ class PallasChypRanker:
         return lhs2, znorm, t2, mask
 
     def __call__(self, params, q, fidx):
-        rhs_pad, bt_row = self._prep(params)
+        if self._tables_params is not params:
+            self._tables_params, self._tables = params, self._prep(params)
+        rhs_pad, bt_row = self._tables
         lhs2, znorm, t2, mask = self._qfn(params, q, fidx, rhs_pad, bt_row)
         counts = chyp_rank_counts(
             lhs2, znorm, t2, rhs_pad, bt_row, mask,

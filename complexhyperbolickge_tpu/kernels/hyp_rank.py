@@ -165,6 +165,9 @@ class PallasHypRanker:
         self.interpret = interpret
         self._prep = jax.jit(self._prepare_tables)
         self._qfn = jax.jit(self._queries)
+        # padded tables cached per params version (strong-reference key)
+        self._tables_params = None
+        self._tables = None
 
     def _prepare_tables(self, params):
         ent = params["entity"].astype(jnp.float32)
@@ -204,7 +207,9 @@ class PallasHypRanker:
         return lhs_pad, x2, c, t2, mask
 
     def __call__(self, params, q, fidx):
-        rhs_pad, bt_row = self._prep(params)
+        if self._tables_params is not params:
+            self._tables_params, self._tables = params, self._prep(params)
+        rhs_pad, bt_row = self._tables
         lhs_pad, x2, c, t2, mask = self._qfn(params, q, fidx, rhs_pad, bt_row)
         counts = hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask,
                                  tile_n=self.tile_n, interpret=self.interpret,

@@ -62,7 +62,12 @@ def make_ranker(model, eval_batch_size: int):
 
 def make_best_ranker(model, eval_batch_size: int, backend: str = "auto"):
     """Pick the fused Pallas ranker for CHYP-family models on TPU (1.46x the
-    dense path, benchmarks/eval_bench.py), else the dense XLA ranker."""
+    dense path, benchmarks/eval_bench.py), else the dense XLA ranker.
+
+    A failure to build the Pallas path is LOUD: backend='pallas' re-raises;
+    backend='auto' logs a warning with the exception before degrading to the
+    dense ranker (a silent fallback would hide kernel rot and a 1.46x loss).
+    """
     if backend in ("auto", "pallas"):
         try:
             from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
@@ -86,8 +91,23 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto"):
 
                 return make_pallas_hyp_ranker(model, eval_batch_size,
                                               interpret=not on_tpu)
-        except Exception:
-            pass
+        except Exception as e:
+            if backend == "pallas":
+                raise
+            import logging
+
+            logging.warning(
+                "Pallas ranker unavailable for %s (%s: %s); falling back to "
+                "the dense XLA ranker",
+                type(model).__name__, type(e).__name__, e,
+            )
+    if backend == "pallas":
+        import logging
+
+        logging.warning(
+            "no fused Pallas ranker exists for %s; using the dense XLA ranker",
+            type(model).__name__,
+        )
     return make_ranker(model, eval_batch_size)
 
 

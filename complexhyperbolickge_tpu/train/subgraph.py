@@ -71,7 +71,7 @@ class SubgraphTrainer:
     # ------------------------------- compiled -------------------------------
 
     def _loss(self, params, node_ids, edges, edge_w, train_mask, node_w,
-              queries, gqueries, labels, n_nodes, key):
+              queries, gqueries, labels, n_nodes, qw, key):
         model, cfg = self.model, self.cfg
         cache = model.encode_subgraph(
             params, node_ids, edges, edge_w * train_mask, node_w,
@@ -95,7 +95,7 @@ class SubgraphTrainer:
                 # columns carry -logp ~ 1e9 and must stay out of the mean)
                 smooth = jnp.sum(-logp * node_w[None, :], axis=-1) / n_nodes
                 nll = (1 - eps) * nll + eps * smooth
-            loss = jnp.mean(nll)
+            loss = jnp.sum(qw * nll) / jnp.sum(qw)
         else:  # binarycrossentropy over subgraph nodes
             y = labels
             eps = cfg.smoothing or 0.0
@@ -104,7 +104,7 @@ class SubgraphTrainer:
             log_p = jnp.maximum(jax.nn.log_sigmoid(s), -100.0)
             log_1mp = jnp.maximum(jax.nn.log_sigmoid(-s), -100.0)
             per = -(y * log_p + (1 - y) * log_1mp) * node_w[None, :]
-            loss = jnp.sum(per) / (per.shape[0] * n_nodes)
+            loss = jnp.sum(per * qw[:, None]) / (jnp.sum(qw) * n_nodes)
 
         factors = self.model.get_factors(params)
         from complexhyperbolickge_tpu.train.regularizers import get_regularizer
@@ -119,10 +119,10 @@ class SubgraphTrainer:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, node_ids, edges, edge_w, train_mask,
-                 node_w, queries, gqueries, labels, n_nodes, key):
+                 node_w, queries, gqueries, labels, n_nodes, qw, key):
             loss, grads = grad_fn(params, node_ids, edges, edge_w, train_mask,
                                   node_w, queries, gqueries, labels, n_nodes,
-                                  key)
+                                  qw, key)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
@@ -146,6 +146,11 @@ class SubgraphTrainer:
                 [sub.node_ids[sub.queries[:, 0]], sub.queries[:, 1],
                  sub.node_ids[sub.queries[:, 2]]], axis=1,
             )
+            qw = (
+                sub.query_weight
+                if sub.query_weight is not None
+                else np.ones(len(sub.queries), np.float32)
+            )
             key, sk = jax.random.split(key)
             params, opt_state, loss = self._step(
                 params, opt_state,
@@ -153,7 +158,7 @@ class SubgraphTrainer:
                 jnp.asarray(sub.edge_weight), jnp.asarray(sub.train_mask),
                 jnp.asarray(node_w), jnp.asarray(sub.queries),
                 jnp.asarray(gq), jnp.asarray(labels),
-                jnp.float32(sub.n_nodes), sk,
+                jnp.float32(sub.n_nodes), jnp.asarray(qw), sk,
             )
             total += float(loss)
             count += 1

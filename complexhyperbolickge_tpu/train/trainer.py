@@ -138,15 +138,19 @@ class Trainer:
 
     # ------------------------------- loss core -------------------------------
 
-    def _loss(self, params, batch, weights, labels, key):
+    def _loss(self, params, batch, weights, labels, key, training=True):
         cfg = self.cfg
         model = self.model
         is_gnn = getattr(model, "is_gnn", False)
         if is_gnn:
             # run the full-graph encoder ONCE per step (with edge/feature
-            # dropout when training) and bind its cache for all scoring
+            # dropout when training; validation encodes dropout-free, like
+            # the reference's model.eval() before calculate_valid_loss,
+            # run.py:223)
             key, enc_key = jax.random.split(key)
-            cache = model.encode(params, key=enc_key, training=True)
+            cache = model.encode(
+                params, key=enc_key if training else None, training=training
+            )
             from complexhyperbolickge_tpu.models.gnn.models import BoundGNN
 
             model = BoundGNN(model, cache)
@@ -182,6 +186,13 @@ class Trainer:
             # normalizes by factors[0].shape[0] (regularizers.py:29,57)
             loss = loss + self.reg_fn(factors, cfg.reg, factors[0].shape[0])
         else:
+            # Documented divergence: on the binarycrossentropy branch the
+            # reference adds the regularizer TWICE (inside no_neg_sampling_loss
+            # at kg_optimizer.py:162/171 and again in calculate_loss at :196)
+            # — an accumulation bug that silently doubles effective reg
+            # strength there.  We add it once on every branch (all published
+            # configs use reg 0.0, tuning_fft.sh / README.md:54-62, so no
+            # published result depends on the doubling).
             loss = loss + self.reg_fn(factors, cfg.reg, jnp.sum(weights), weights)
         return loss
 
@@ -248,7 +259,7 @@ class Trainer:
                     lab = None
                 else:
                     batch, w, lab, k = xs
-                return None, self._loss(params, batch, w, lab, k)
+                return None, self._loss(params, batch, w, lab, k, training=False)
 
             xs = (
                 (batches, weights, keys)

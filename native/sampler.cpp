@@ -91,13 +91,17 @@ int64_t kgs_sample(void *h, const int64_t *seed_edges, int64_t n_seeds,
     return id;
   };
 
-  // frontier = seed-edge endpoints
+  // frontier = seed-edge endpoints.  Every seed endpoint MUST get a local
+  // id: out_queries is written through local[], so a failed assignment
+  // would silently alias local node 0 — error out (-2) instead.
   std::vector<int64_t> frontier;
   for (int64_t i = 0; i < n_seeds; ++i) {
     int64_t e = seed_edges[i];
     if (e < 0 || e >= g.n_edges) return -1;
-    if (add_node(g.heads[e]) >= 0) frontier.push_back(g.heads[e]);
-    if (add_node(g.tails[e]) >= 0) frontier.push_back(g.tails[e]);
+    if (add_node(g.heads[e]) < 0) return -2;
+    frontier.push_back(g.heads[e]);
+    if (add_node(g.tails[e]) < 0) return -2;
+    frontier.push_back(g.tails[e]);
   }
 
   // uniform without-replacement neighbor expansion per hop

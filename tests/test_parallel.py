@@ -96,6 +96,37 @@ def test_sharded_ranker_matches_dense(data, setup, mesh_shape):
     np.testing.assert_array_equal(np.concatenate(ranks), dense_ranks)
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_model_axis_training_matches_single_device(data, setup, mesh_shape):
+    """Training with the entity table ROW-SHARDED over 'model' (the tp/sp
+    axis) must match single-device training: GSPMD keeps the scanned epoch +
+    optimizer state correct under sharded gathers/scatter-adds."""
+    model, params = setup
+    n_ent, n_rel, _ = data.get_shape()
+    tcfg = TrainConfig(learning_rate=0.05, batch_size=64, neg_sample_size=8)
+    trainer = Trainer(model, tcfg, n_ent, n_rel)
+
+    ex = data.get_examples("train")
+    b, w, _ = epoch_batches(ex, tcfg.batch_size, np.random.default_rng(0))
+    key = jax.random.PRNGKey(42)
+
+    p1, _, loss1 = trainer.run_epoch(
+        jax.tree.map(jnp.copy, params), trainer.tx.init(params), b, w, key
+    )
+
+    mesh = make_mesh(mesh_shape)
+    sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    assert sp["entity"].sharding.spec[0] == "model"  # really row-sharded
+    sb, sw, _ = shard_epoch_arrays(mesh, jnp.asarray(b), jnp.asarray(w))
+    p2, _, loss2 = trainer.run_epoch(sp, trainer.tx.init(sp), sb, sw, key)
+
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    for (k, a), (_, c) in zip(sorted(p1.items()), sorted(p2.items())):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=1e-6, err_msg=k
+        )
+
+
 def test_cli_with_mesh(tmp_path):
     """Full CLI protocol with --mesh 4x2 on the virtual 8-device mesh
     (DP-sharded training batches + entity-sharded shard_map eval)."""
