@@ -216,7 +216,7 @@ def train(args) -> dict:
 
     start_epoch, best_mrr, best_epoch, counter = 1, None, None, 0
     if args.resume and os.path.exists(os.path.join(save_dir, "state.pkl")):
-        st = load_checkpoint(save_dir)
+        st = load_checkpoint(save_dir, expect_params=params)
         params, opt_state = st["params"], st["opt_state"]
         start_epoch = st["epoch"] + 1
         best_mrr = st["best_mrr"]

@@ -5,7 +5,10 @@ best model state_dict (run.py:237) and cannot resume mid-training (SURVEY
 §5.4): here the full training state round-trips, enabling exact resume.
 
 Format: a pickle of numpy-ified pytrees plus a json config next to it —
-host-portable, no framework version pinning.
+host-portable, no framework version pinning.  A schema record (format
+version + per-param shape/dtype) is validated at load time so a mismatched
+resume (changed rank, different model) fails with a clear message instead
+of a deep scan-time shape error.
 """
 
 from __future__ import annotations
@@ -19,16 +22,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+FORMAT_VERSION = 1
+
 
 def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _schema(params):
+    return {
+        k: [list(np.shape(v)), str(np.asarray(v).dtype)]
+        for k, v in params.items()
+    }
 
 
 def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
                     best_mrr: float | None = None, config: dict | None = None):
     os.makedirs(path, exist_ok=True)
     state = {
+        "format_version": FORMAT_VERSION,
         "params": _to_host(params),
+        "param_schema": _schema(params),
         "opt_state": None if opt_state is None else _to_host(opt_state),
         "epoch": epoch,
         "best_mrr": best_mrr,
@@ -46,9 +60,41 @@ def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
             json.dump(cfg, f, indent=2)
 
 
-def load_checkpoint(path: str, device_put: bool = True):
+def load_checkpoint(path: str, device_put: bool = True,
+                    expect_params=None):
+    """Load state.pkl; validates the stored schema against itself and,
+    when `expect_params` (a live params pytree) is given, against the
+    caller's expected shapes/dtypes — failing fast with the offending
+    parameter named."""
     with open(os.path.join(path, "state.pkl"), "rb") as f:
         state = pickle.load(f)
+    ver = state.get("format_version", 0)
+    if ver > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint at {path} has format_version={ver}, newer than this "
+            f"code's {FORMAT_VERSION}"
+        )
+    schema = state.get("param_schema")
+    if schema is not None:
+        stored = _schema(state["params"])
+        if stored != schema:
+            raise ValueError(
+                f"checkpoint at {path} is corrupt: stored params do not "
+                f"match their recorded schema"
+            )
+    if expect_params is not None:
+        want = _schema(expect_params)
+        got = _schema(state["params"])
+        if want != got:
+            diffs = [
+                f"  {k}: checkpoint {got.get(k)} vs expected {want.get(k)}"
+                for k in sorted(set(want) | set(got))
+                if want.get(k) != got.get(k)
+            ]
+            raise ValueError(
+                "checkpoint/model mismatch (wrong rank, model, or dtype?):\n"
+                + "\n".join(diffs)
+            )
     if device_put:
         state["params"] = jax.tree.map(jnp.asarray, state["params"])
         if state["opt_state"] is not None:

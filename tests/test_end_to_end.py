@@ -120,6 +120,26 @@ def test_checkpoint_roundtrip(tmp_path, data):
     trainer.run_epoch(st["params"], st["opt_state"], b, w, jax.random.PRNGKey(1))
 
 
+def test_checkpoint_schema_mismatch_fails_at_load(tmp_path, data):
+    """Resuming with a different model shape must fail at LOAD time with the
+    offending parameter named, not deep inside the compiled epoch."""
+    import pytest
+
+    model, trainer, params, opt_state, _ = _train(data, epochs=1,
+                                                  neg_sample_size=5)
+    save_checkpoint(str(tmp_path), params, opt_state, epoch=1, best_mrr=0.5)
+
+    n_ent, n_rel, _ = data.get_shape()
+    other_cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=9,
+                            multi_c=True, dtype="float32")
+    other = get_model("FFTRotH")(other_cfg)
+    other_params = other.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="entity"):
+        load_checkpoint(str(tmp_path), expect_params=other_params)
+    # matching shapes still load fine
+    load_checkpoint(str(tmp_path), expect_params=params)
+
+
 def test_cli_resume(tmp_path):
     """--resume restores epoch counter + full optimizer state and continues."""
     from complexhyperbolickge_tpu.cli.run import build_parser, train

@@ -54,40 +54,47 @@ def data():
     return structured_kg()
 
 
-def train_ours(data):
+def train_ours(data, name="FFTRotH", rank=RANK, optimizer="Adam", lr=LR,
+               batch=BATCH, epochs=EPOCHS):
     n_ent, n_rel, _ = data.get_shape()
-    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=RANK,
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=rank,
                       multi_c=True, bias="learn", dtype="float32")
-    model = get_model("FFTRotH")(cfg)
-    tcfg = TrainConfig(optimizer="Adam", learning_rate=LR, batch_size=BATCH,
+    model = get_model(name)(cfg)
+    tcfg = TrainConfig(optimizer=optimizer, learning_rate=lr, batch_size=batch,
                        neg_sample_size=NEG, regularizer="N3", reg=0.0)
     trainer = Trainer(model, tcfg, n_ent, n_rel)
     params, opt_state = trainer.init(jax.random.PRNGKey(0))
     ex = data.get_examples("train")
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
-    for _ in range(EPOCHS):
-        b, w, _ = epoch_batches(ex, BATCH, rng)
+    for _ in range(epochs):
+        b, w, _ = epoch_batches(ex, batch, rng)
         key, ek = jax.random.split(key)
         params, opt_state, _ = trainer.run_epoch(params, opt_state, b, w, ek)
     return avg_both(compute_metrics(model, params, data, "test", 64))["MRR"]
 
 
-def train_reference(data):
-    chyp = load("models.complexhyperbolic")
+def train_reference(data, name="FFTRotH", rank=RANK, optimizer="Adam", lr=LR,
+                    batch=BATCH, epochs=EPOCHS):
+    mod = load(
+        "models.complexhyperbolic" if name.startswith("FFT")
+        else "models.hyperbolic"
+    )
     n_ent, n_rel, _ = data.get_shape()
-    args = make_args(sizes=(n_ent, n_rel, n_ent), rank=RANK, multi_c=True,
+    args = make_args(sizes=(n_ent, n_rel, n_ent), rank=rank, multi_c=True,
                      bias="learn", dtype="float")
     torch.manual_seed(0)
-    model = chyp.FFTRotH(args).float()
-    model.lift = True  # the working semantics (SURVEY §2.4.1)
-    opt = torch.optim.Adam(model.parameters(), lr=LR)
+    model = getattr(mod, name)(args).float()
+    if name.startswith("FFT"):
+        model.lift = True  # the working semantics (SURVEY §2.4.1)
+    opt_cls = {"Adam": torch.optim.Adam, "Adagrad": torch.optim.Adagrad}
+    opt = opt_cls[optimizer](model.parameters(), lr=lr)
     ex = torch.from_numpy(data.get_examples("train").astype(np.int64))
     g = torch.Generator().manual_seed(0)
-    for _ in range(EPOCHS):
+    for _ in range(epochs):
         order = torch.randperm(len(ex), generator=g)
-        for i in range(0, len(ex), BATCH):
-            b = ex[order[i: i + BATCH]]
+        for i in range(0, len(ex), batch):
+            b = ex[order[i: i + batch]]
             pos, _ = model(b[:, :2].unsqueeze(1), b[:, 2].unsqueeze(1))
             negs = torch.randint(0, n_ent - 1, (b.shape[0], NEG), generator=g)
             negs = torch.where(negs < b[:, 2].unsqueeze(-1), negs, negs + 1)
@@ -136,11 +143,79 @@ def test_families_learn_structured_kg(data, name, rank):
     assert mrr > 5 * (2.0 / N_ENT), f"{name} failed to learn: MRR {mrr:.4f}"
 
 
-def test_learning_dynamics_match_reference(data):
-    mrr_ref = train_reference(data)
-    mrr_ours = train_ours(data)
+# the published model set (reference README.md:54-56: FFTRotH / FFTRefH /
+# FFTAttH on WN18RR; RotH is the Chami-et-al predecessor the FFT pipelines
+# mirror) — each trained by BOTH stacks on the same KG, MRR within a band
+# Per-model recipes chosen so BOTH stacks reach their MRR plateau (mid-
+# convergence comparisons just measure RNG-stream divergence): FFTAttH's
+# attention warms up slowly, so it gets a lower lr + longer horizon; RotH
+# needs an even rank (Givens pairs-of-2, reference utils/euclidean.py:39).
+@pytest.mark.parametrize("name,kw", [
+    ("FFTRotH", {}),
+    ("FFTAttH", {"lr": 0.02, "epochs": 80}),
+    ("RotH", {"rank": 16}),
+])
+def test_learning_dynamics_match_reference(data, name, kw):
+    mrr_ref = train_reference(data, name, **kw)
+    mrr_ours = train_ours(data, name, **kw)
     chance = 2.0 / N_ENT
     assert mrr_ref > 5 * chance, f"reference failed to learn: {mrr_ref}"
     assert mrr_ours > 5 * chance, f"ours failed to learn: {mrr_ours}"
+    assert abs(mrr_ours - mrr_ref) < 0.10, (name, mrr_ours, mrr_ref)
+    print(f"{name}: MRR ours={mrr_ours:.3f} reference={mrr_ref:.3f}")
+
+
+# ----------------------- FB237-shaped KG + Adagrad path -----------------------
+
+N_ENT_FB, N_REL_FB = 150, 120  # hundreds of relations, FB237-like shape
+
+
+@pytest.fixture(scope="module")
+def fb_data():
+    """Permutation KG with many relations (the FB237 regime: n_rel >> 11;
+    exercises per-relation parameters — rel, rel_diag, multi-c — at width)."""
+    rng = np.random.default_rng(1)
+    offsets = rng.choice(np.arange(1, N_ENT_FB), size=N_REL_FB, replace=False)
+    triples = []
+    for k, off in enumerate(offsets):
+        for i in range(N_ENT_FB):
+            triples.append((i, k, (i + int(off)) % N_ENT_FB))
+    triples = np.asarray(triples, dtype=np.int64)
+    triples = triples[rng.permutation(len(triples))]
+    n_test = len(triples) // 8
+    splits = {
+        "train": triples[2 * n_test:],
+        "valid": triples[:n_test],
+        "test": triples[n_test: 2 * n_test],
+    }
+    return KGData(splits=splits, filters=None)
+
+
+def test_fb_shaped_dynamics_match_reference_adagrad(fb_data):
+    """FFTRotH with the FB237 recipe's optimizer family (Adagrad — reference
+    README.md:61-62): our MRR within a band of the executed reference's on a
+    hundreds-of-relations KG.  Covers the Adagrad trajectory end-to-end,
+    which step-level parity cannot (SURVEY: |g|-normalized optimizers turn
+    sub-ulp sign flips into full-lr divergences)."""
+    kw = dict(name="FFTRotH", rank=RANK, optimizer="Adagrad", lr=0.05,
+              batch=500, epochs=8)
+    mrr_ref = train_reference(fb_data, **kw)
+    mrr_ours = train_ours(fb_data, **kw)
+    chance = 2.0 / N_ENT_FB
+    assert mrr_ref > 5 * chance, f"reference failed to learn: {mrr_ref}"
+    assert mrr_ours > 5 * chance, f"ours failed to learn: {mrr_ours}"
     assert abs(mrr_ours - mrr_ref) < 0.10, (mrr_ours, mrr_ref)
-    print(f"MRR ours={mrr_ours:.3f} reference={mrr_ref:.3f}")
+    print(f"FB-shaped Adagrad: ours={mrr_ours:.3f} ref={mrr_ref:.3f}")
+
+
+# --------------------------- pinned MRR regression ----------------------------
+
+
+def test_pinned_seed0_mrr_regression(data):
+    """Exact-config regression gate: FFTRotH, seed 0, 25 epochs on the
+    permutation KG must reproduce the pinned MRR (future rounds cannot
+    silently regress the learning loop; CPU float32 execution of the same
+    program is deterministic to well under the band here)."""
+    mrr = train_ours(data, "FFTRotH")
+    PINNED = 0.9200  # jax 0.9.0 CPU, recorded 2026-08-16 (round 2)
+    assert abs(mrr - PINNED) < 0.02, mrr
