@@ -39,6 +39,17 @@ def main():
     dense = make_ranker(model, B)
     pallas = make_pallas_ranker(model, B)
 
+    # the production selector must actually PICK the fused kernel on TPU
+    # (a silent fallback would hide kernel rot — round-1 verdict item 5)
+    if jax.devices()[0].platform != "cpu":
+        from complexhyperbolickge_tpu.kernels.chyp_rank import PallasChypRanker
+        from complexhyperbolickge_tpu.train.evaluate import make_best_ranker
+
+        best = make_best_ranker(model, B, "auto")
+        assert isinstance(best, PallasChypRanker), (
+            f"make_best_ranker degraded to {type(best).__name__} on TPU"
+        )
+
     r1 = np.asarray(dense(params, jq, jf))
     r2 = np.asarray(pallas(params, jq, jf))
     rel = np.abs(r1 - r2) / np.maximum(r1, 1)

@@ -84,8 +84,14 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto"):
 
                 return make_pallas_ranker(model, eval_batch_size,
                                           interpret=not on_tpu)
-            hyp_ok = (isinstance(model, BaseH) and not isinstance(model, AttRH)
-                      ) or isinstance(model, BaseLorentz)
+            if isinstance(model, AttRH) and want:
+                from complexhyperbolickge_tpu.kernels import (
+                    make_pallas_attrh_ranker,
+                )
+
+                return make_pallas_attrh_ranker(model, eval_batch_size,
+                                                interpret=not on_tpu)
+            hyp_ok = isinstance(model, (BaseH, BaseLorentz))
             if hyp_ok and want:
                 from complexhyperbolickge_tpu.kernels import make_pallas_hyp_ranker
 
