@@ -64,9 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--update_steps", default=1, type=int)
     p.add_argument("--neg_sample_size", default=50, type=int)
     p.add_argument("--neg_mode", default="per_query",
-                   choices=["per_query", "shared"],
+                   choices=["per_query", "shared", "pool"],
                    help="per_query = reference sampler; shared = one negative"
-                        " set per batch (MXU matmul scoring, faster)")
+                        " set per batch (MXU matmul scoring, faster); pool ="
+                        " per-query negatives drawn through a per-step"
+                        " candidate pool (reference estimator shape, MXU"
+                        " scoring — fastest per-query form)")
+    p.add_argument("--neg_pool_size", default=1024, type=int,
+                   help="candidate pool size for --neg_mode pool")
     p.add_argument("--loss", default="crossentropy",
                    choices=["crossentropy", "binarycrossentropy"])
     p.add_argument("--dropout", default=0.0, type=float)
@@ -185,6 +190,7 @@ def train(args) -> dict:
         learning_rate=args.learning_rate, batch_size=args.batch_size,
         update_steps=args.update_steps, neg_sample_size=args.neg_sample_size,
         neg_mode=getattr(args, "neg_mode", "per_query"),
+        neg_pool_size=getattr(args, "neg_pool_size", 1024),
         loss=args.loss, smoothing=args.smoothing, double_neg=args.double_neg,
     )
     trainer = Trainer(model, tcfg, sizes[0], sizes[1])

@@ -101,6 +101,62 @@ def neg_sampling_loss_shared(model, params, batch, weights, key,
     return -num / den, factors
 
 
+def neg_sampling_loss_pooled(model, params, batch, weights, key,
+                             n_entities: int, k: int, double_neg: bool,
+                             n_rel: int, pool_size: int):
+    """Per-query negative sampling scored through a per-STEP candidate pool.
+
+    Keeps the reference's estimator — every query gets its own K negatives,
+    jointly i.i.d. uniform over entities — but restructures the compute for
+    the TPU memory system: the reference-semantics path gathers B*K entity
+    rows (13 MB at the WN18RR config) and scatter-adds B*K row gradients
+    back; here ONE pool gather of P i.i.d.-uniform rows feeds a
+    (B, D) x (D, P) MXU matmul, and each query's negatives are a random
+    CONTIGUOUS WINDOW of K pool slots.  Because pool entries are themselves
+    i.i.d. uniform entity draws, K contiguous slots are exactly K i.i.d.
+    uniform negatives per query (queries correlate only through shared pool
+    entries, which leaves the per-query loss expectation unchanged).  The
+    window is a pure elementwise iota mask on the (B, P) score matrix —
+    measured 2x faster than (B, K) take_along_axis picks, whose gather +
+    scatter-add VJP dominated the step.  Collisions with a query's gold
+    tail are masked out of the mean (the reference's shifted-randint
+    excludes gold by construction, so a kept negative has the same
+    uniform-over-non-gold marginal).  Requires k <= pool_size.
+    Enable with --neg_mode pool; pool size via --neg_pool_size.
+    """
+    assert k <= pool_size, f"neg_sample_size {k} > neg_pool_size {pool_size}"
+    queries, tails = batch[:, :2], batch[:, 2:3]
+    pos = model.score(params, queries, tails)  # (B, 1)
+    factors = model.get_factors(params, queries, tails)
+
+    keys = jax.random.split(key, 3)
+    w = weights[:, None]
+    num = jnp.sum(w * _logsigmoid(pos))
+    den = jnp.sum(weights)
+
+    pool = jax.random.randint(keys[0], (pool_size,), 0, n_entities)
+    pool_rows = params["entity"][pool]
+    pool_bt = params["bt"][pool]
+    j = jnp.arange(pool_size, dtype=jnp.int32)[None, :]
+
+    def pooled_negs(kk, q, gold):
+        lhs, lhs_b = model.get_queries(params, q)
+        s = model.sim(lhs, pool_rows, all_pairs=True)  # (B, P)
+        s = model._apply_bias(s, lhs_b, pool_bt, all_pairs=True)
+        off = jax.random.randint(kk, (q.shape[0], 1), 0, pool_size)
+        in_win = jnp.remainder(j - off, pool_size) < k  # (B, P) window mask
+        keep = w * in_win * (pool[None, :] != gold)
+        return jnp.sum(keep * _logsigmoid(-s)), jnp.sum(keep)
+
+    n_t, d_t = pooled_negs(keys[1], queries, tails)
+    num, den = num + n_t, den + d_t
+    if double_neg:
+        inv_q = jnp.stack([batch[:, 2], batch[:, 1] + n_rel // 2], axis=1)
+        n_h, d_h = pooled_negs(keys[2], inv_q, batch[:, 0:1])
+        num, den = num + n_h, den + d_h
+    return -num / den, factors
+
+
 def cross_entropy_loss(model, params, batch, weights, smoothing: float | None):
     """All-entity CE with torch-style label smoothing (kg_optimizer.py:47,
     186-191): loss_i = (1-eps)(-log p_t) + eps * mean_k(-log p_k)."""

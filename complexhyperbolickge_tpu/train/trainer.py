@@ -45,7 +45,8 @@ class TrainConfig:
     loss: str = "crossentropy"  # crossentropy | binarycrossentropy
     smoothing: Optional[float] = None
     double_neg: bool = False
-    neg_mode: str = "per_query"  # per_query (reference) | shared (MXU matmuls)
+    neg_mode: str = "per_query"  # per_query (reference) | shared | pool
+    neg_pool_size: int = 1024  # candidate pool size for neg_mode='pool'
     # Fused Pallas train-mode scorer (kernels/chyp_train.py).  Measured
     # perf-neutral vs XLA's own fusion of the same chain on v5e (the step is
     # bound by the candidate gather/scatter, not the distance math), so off
@@ -125,8 +126,10 @@ class Trainer:
             cfg.neg_sample_size <= 0
             and cfg.loss == "binarycrossentropy"
         )
-        if cfg.neg_mode == "shared" and getattr(model, "is_gnn", False):
-            raise ValueError("neg_mode='shared' is not supported for GNN models")
+        if cfg.neg_mode in ("shared", "pool") and getattr(model, "is_gnn", False):
+            raise ValueError(
+                f"neg_mode={cfg.neg_mode!r} is not supported for GNN models"
+            )
         if cfg.fused_scorer and jax.devices()[0].platform == "tpu":
             from complexhyperbolickge_tpu.ops.chyperbolic import (
                 set_fused_train_scorer,
@@ -159,6 +162,12 @@ class Trainer:
                 loss, factors = L.neg_sampling_loss_shared(
                     model, params, batch, weights, key, self.n_entities,
                     cfg.neg_sample_size, cfg.double_neg, self.n_relations,
+                )
+            elif cfg.neg_mode == "pool":
+                loss, factors = L.neg_sampling_loss_pooled(
+                    model, params, batch, weights, key, self.n_entities,
+                    cfg.neg_sample_size, cfg.double_neg, self.n_relations,
+                    cfg.neg_pool_size,
                 )
             else:
                 loss, factors = L.neg_sampling_loss(

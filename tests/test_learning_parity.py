@@ -55,13 +55,14 @@ def data():
 
 
 def train_ours(data, name="FFTRotH", rank=RANK, optimizer="Adam", lr=LR,
-               batch=BATCH, epochs=EPOCHS):
+               batch=BATCH, epochs=EPOCHS, neg_mode="per_query"):
     n_ent, n_rel, _ = data.get_shape()
     cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=rank,
                       multi_c=True, bias="learn", dtype="float32")
     model = get_model(name)(cfg)
     tcfg = TrainConfig(optimizer=optimizer, learning_rate=lr, batch_size=batch,
-                       neg_sample_size=NEG, regularizer="N3", reg=0.0)
+                       neg_sample_size=NEG, regularizer="N3", reg=0.0,
+                       neg_mode=neg_mode, neg_pool_size=64)
     trainer = Trainer(model, tcfg, n_ent, n_rel)
     params, opt_state = trainer.init(jax.random.PRNGKey(0))
     ex = data.get_examples("train")
@@ -206,6 +207,17 @@ def test_fb_shaped_dynamics_match_reference_adagrad(fb_data):
     assert mrr_ours > 5 * chance, f"ours failed to learn: {mrr_ours}"
     assert abs(mrr_ours - mrr_ref) < 0.10, (mrr_ours, mrr_ref)
     print(f"FB-shaped Adagrad: ours={mrr_ours:.3f} ref={mrr_ref:.3f}")
+
+
+def test_pool_mode_learns_like_per_query(data):
+    """neg_mode='pool' (per-query negatives through a per-step candidate
+    pool — the MXU-restructured form of the reference estimator) must reach
+    the same MRR plateau as the reference-semantics per_query mode."""
+    mrr_pq = train_ours(data, "FFTRotH")
+    mrr_pool = train_ours(data, "FFTRotH", neg_mode="pool")
+    chance = 2.0 / N_ENT
+    assert mrr_pool > 5 * chance, f"pool mode failed to learn: {mrr_pool}"
+    assert abs(mrr_pool - mrr_pq) < 0.10, (mrr_pool, mrr_pq)
 
 
 # --------------------------- pinned MRR regression ----------------------------

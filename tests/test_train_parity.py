@@ -19,6 +19,7 @@ ref_chyp_mod = load("models.complexhyperbolic")
 ref_reg = load("optimizers.regularizers")
 
 from complexhyperbolickge_tpu.data.dataset import synthetic_kg
+from complexhyperbolickge_tpu.models import ModelConfig as MC, get_model
 from complexhyperbolickge_tpu.train import losses as L
 from complexhyperbolickge_tpu.train.evaluate import (
     avg_both,
@@ -220,3 +221,78 @@ def test_filtered_ranking_parity():
     metrics = avg_both(compute_metrics(ours, params, data, "test", 16))
     exp_mrr = (np.mean(1 / ref_ranks_rhs) + np.mean(1 / ref_ranks_lhs)) / 2
     np.testing.assert_allclose(metrics["MRR"], exp_mrr, rtol=1e-9)
+
+
+# ----------------------- pooled / shared negative modes -----------------------
+
+
+@pytest.mark.parametrize("name", ["FFTRotH", "RotH"])
+def test_pool_scoring_pattern_matches_canonical_score(name):
+    """The sim+bias pattern used by neg_mode='shared'/'pool' (all-pairs MXU
+    form over gathered entity rows) must equal model.score on the same ids —
+    the two folded forms are algebraically identical; run in f64 to pin them
+    to tight tolerance."""
+    n_ent, n_rel, rank, b, p = 40, 6, 8, 12, 16
+    cfg = MC(n_entities=n_ent, n_relations=n_rel, rank=rank, multi_c=True,
+             bias="learn", dtype="float64")
+    model = get_model(name)(cfg)
+    rng = np.random.default_rng(3)
+    params = {
+        k: jnp.asarray(rng.uniform(-0.4, 0.4, size=shape), dtype=jnp.float64)
+        for k, (shape, _) in model.param_specs().items()
+    }
+    params["c"] = jnp.abs(params["c"]) + 0.5
+    q = jnp.asarray(np.stack([rng.integers(0, n_ent, b),
+                              rng.integers(0, n_rel, b)], 1).astype(np.int32))
+    ids = jnp.asarray(rng.integers(0, n_ent, p).astype(np.int32))
+
+    lhs, lhs_b = model.get_queries(params, q)
+    s = model.sim(lhs, params["entity"][ids], all_pairs=True)
+    s = model._apply_bias(s, lhs_b, params["bt"][ids], all_pairs=True)
+
+    canon = model.score(params, q, jnp.broadcast_to(ids[None, :], (b, p)))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(canon), rtol=1e-9)
+
+
+def test_pooled_loss_matches_per_query_with_full_pool():
+    """With pool == [0..N) (identity pool) and the same negative ids, the
+    pooled loss reduces to the per-query formula up to the gold-collision
+    masking convention; here we check the pooled estimator against a direct
+    recomputation from its own sampled ids."""
+    from complexhyperbolickge_tpu.train import losses as L
+
+    n_ent, n_rel, rank, b, k = 40, 6, 7, 16, 5
+    cfg = MC(n_entities=n_ent, n_relations=n_rel, rank=rank, multi_c=True,
+             bias="learn", dtype="float64")
+    model = get_model("FFTRotH")(cfg)
+    rng = np.random.default_rng(4)
+    params = {
+        kk: jnp.asarray(rng.uniform(-0.4, 0.4, size=shape), dtype=jnp.float64)
+        for kk, (shape, _) in model.param_specs().items()
+    }
+    params["c"] = jnp.abs(params["c"]) + 0.5
+    batch = jnp.asarray(np.stack(
+        [rng.integers(0, n_ent, b), rng.integers(0, n_rel, b),
+         rng.integers(0, n_ent, b)], 1).astype(np.int32))
+    w = jnp.ones(b, jnp.float64)
+    key = jax.random.PRNGKey(9)
+
+    loss, _ = L.neg_sampling_loss_pooled(
+        model, params, batch, w, key, n_ent, k, False, n_rel, pool_size=32
+    )
+
+    # recompute directly through the canonical per-pair score(): same RNG
+    # stream -> same pool and window offsets
+    keys = jax.random.split(key, 3)
+    pool = jax.random.randint(keys[0], (32,), 0, n_ent)
+    off = jax.random.randint(keys[1], (b, 1), 0, 32)
+    j = jnp.arange(32, dtype=jnp.int32)[None, :]
+    in_win = (jnp.remainder(j - off, 32) < k).astype(jnp.float64)
+    pos = model.score(params, batch[:, :2], batch[:, 2:3])
+    neg_s = model.score(params, batch[:, :2],
+                        jnp.broadcast_to(pool[None, :], (b, 32)))
+    keep = in_win * (pool[None, :] != batch[:, 2:3])
+    num = jnp.sum(jax.nn.log_sigmoid(pos)) + jnp.sum(
+        keep * jax.nn.log_sigmoid(-neg_s))
+    den = b + jnp.sum(keep)
+    np.testing.assert_allclose(float(loss), float(-num / den), rtol=1e-9)
