@@ -66,10 +66,39 @@ def main():
         jax.block_until_ready(out)
         return n * B / (time.perf_counter() - t0)
 
-    d_qps = bench(dense)
-    p_qps = bench(pallas)
-    print(f"XLA dense ranker:  {d_qps:,.0f} queries/s")
-    print(f"Pallas fused:      {p_qps:,.0f} queries/s  ({p_qps / d_qps:.2f}x)")
+    # the remote-compile tunnel makes single trials swing multiples; report
+    # the median of interleaved trials
+    d_trials, p_trials = [], []
+    for _ in range(5):
+        d_trials.append(bench(dense))
+        p_trials.append(bench(pallas))
+    d_qps = float(np.median(d_trials))
+    p_qps = float(np.median(p_trials))
+    print(f"XLA dense ranker:  {d_qps:,.0f} queries/s "
+          f"(trials {', '.join(f'{x/1e3:,.0f}k' for x in d_trials)})")
+    print(f"Pallas fused:      {p_qps:,.0f} queries/s  ({p_qps / d_qps:.2f}x) "
+          f"(trials {', '.join(f'{x/1e3:,.0f}k' for x in p_trials)})")
+
+    # production path: whole-split scan-compiled ranking (one dispatch per
+    # split via rank_many) — this is what compute_metrics actually runs
+    from complexhyperbolickge_tpu.data.dataset import EvalPack
+    from complexhyperbolickge_tpu.train.evaluate import get_ranking
+
+    nq = 20000
+    qs = np.stack([rng.integers(0, N_ENT, nq), rng.integers(0, N_REL, nq),
+                   rng.integers(0, N_ENT, nq)], 1).astype(np.int32)
+    fs = rng.integers(0, N_ENT, (nq, LMAX)).astype(np.int32)
+    fs[:, -1] = qs[:, 2]
+    pack = EvalPack(queries=qs, filter_idx=fs)
+    for label, fn in (("dense", dense), ("pallas", pallas)):
+        get_ranking(model, params, pack, B, rank_fn=fn)  # compile
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            get_ranking(model, params, pack, B, rank_fn=fn)
+            trials.append(nq / (time.perf_counter() - t0))
+        print(f"whole-split scan ({label}): {np.median(trials):,.0f} queries/s "
+              f"(trials {', '.join(f'{x/1e3:,.0f}k' for x in trials)})")
 
 
 if __name__ == "__main__":

@@ -134,6 +134,7 @@ class PallasChypRanker:
         self.interpret = interpret
         self._prep = jax.jit(self._prepare_tables)
         self._qfn = jax.jit(self._queries_and_mask)
+        self._scan = jax.jit(self._rank_scan)
         # padded tables cached per params version, keyed by a STRONG
         # reference to the params object (an id() key could alias a new
         # pytree allocated at a freed address)
@@ -195,10 +196,34 @@ class PallasChypRanker:
         mask = mask.at[rows, fidx].set(1, mode="drop")
         return lhs2, znorm, t2, mask
 
-    def __call__(self, params, q, fidx):
+    def _rank_scan(self, params, qb, fb, rhs_pad, bt_row):
+        """Whole-split ranking as one compiled program (lax.map over batches
+        with the pallas kernel in the body): one dispatch per split."""
+
+        def one(x):
+            q, fidx = x
+            lhs2, znorm, t2, mask = self._queries_and_mask(
+                params, q, fidx, rhs_pad, bt_row
+            )
+            counts = chyp_rank_counts(
+                lhs2, znorm, t2, rhs_pad, bt_row, mask,
+                tile_n=self.tile_n, interpret=self.interpret,
+            )
+            return 1.0 + counts
+
+        return jax.lax.map(one, (qb, fb))
+
+    def _get_tables(self, params):
         if self._tables_params is not params:
             self._tables_params, self._tables = params, self._prep(params)
-        rhs_pad, bt_row = self._tables
+        return self._tables
+
+    def rank_many(self, params, qb, fb):
+        rhs_pad, bt_row = self._get_tables(params)
+        return self._scan(params, qb, fb, rhs_pad, bt_row)
+
+    def __call__(self, params, q, fidx):
+        rhs_pad, bt_row = self._get_tables(params)
         lhs2, znorm, t2, mask = self._qfn(params, q, fidx, rhs_pad, bt_row)
         counts = chyp_rank_counts(
             lhs2, znorm, t2, rhs_pad, bt_row, mask,

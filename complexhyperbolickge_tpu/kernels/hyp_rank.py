@@ -215,6 +215,7 @@ class PallasAttRHRanker:
         self.interpret = interpret
         self._prep = jax.jit(self._prepare_tables)
         self._qfn = jax.jit(self._queries)
+        self._scan = jax.jit(self._rank_scan)
         self._tables_params = None
         self._tables = None
 
@@ -258,10 +259,31 @@ class PallasAttRHRanker:
         mask = mask.at[jnp.arange(b)[:, None], fidx].set(1, mode="drop")
         return l_rot, l_ref, x2r, x2f, c, w[:, 0:1], w[:, 1:2], t2, mask
 
-    def __call__(self, params, q, fidx):
+    def _rank_scan(self, params, qb, fb, rhs_rot, rhs_ref, bt_row):
+        def one(x):
+            q, fidx = x
+            (l_rot, l_ref, x2r, x2f, c, w0, w1, t2, mask) = self._queries(
+                params, q, fidx, rhs_rot, rhs_ref, bt_row
+            )
+            counts = attrh_rank_counts(
+                l_rot, l_ref, x2r, x2f, c, w0, w1, t2, rhs_rot, rhs_ref,
+                bt_row, mask, tile_n=self.tile_n, interpret=self.interpret,
+            )
+            return 1.0 + counts
+
+        return jax.lax.map(one, (qb, fb))
+
+    def _get_tables(self, params):
         if self._tables_params is not params:
             self._tables_params, self._tables = params, self._prep(params)
-        rhs_rot, rhs_ref, bt_row = self._tables
+        return self._tables
+
+    def rank_many(self, params, qb, fb):
+        rhs_rot, rhs_ref, bt_row = self._get_tables(params)
+        return self._scan(params, qb, fb, rhs_rot, rhs_ref, bt_row)
+
+    def __call__(self, params, q, fidx):
+        rhs_rot, rhs_ref, bt_row = self._get_tables(params)
         (l_rot, l_ref, x2r, x2f, c, w0, w1, t2, mask) = self._qfn(
             params, q, fidx, rhs_rot, rhs_ref, bt_row
         )
@@ -324,6 +346,7 @@ class PallasHypRanker:
         self.interpret = interpret
         self._prep = jax.jit(self._prepare_tables)
         self._qfn = jax.jit(self._queries)
+        self._scan = jax.jit(self._rank_scan)
         # padded tables cached per params version (strong-reference key)
         self._tables_params = None
         self._tables = None
@@ -365,10 +388,31 @@ class PallasHypRanker:
         mask = mask.at[jnp.arange(b)[:, None], fidx].set(1, mode="drop")
         return lhs_pad, x2, c, t2, mask
 
-    def __call__(self, params, q, fidx):
+    def _rank_scan(self, params, qb, fb, rhs_pad, bt_row):
+        def one(x):
+            q, fidx = x
+            lhs_pad, x2, c, t2, mask = self._queries(params, q, fidx,
+                                                     rhs_pad, bt_row)
+            counts = hyp_rank_counts(
+                lhs_pad, x2, c, t2, rhs_pad, bt_row, mask,
+                tile_n=self.tile_n, interpret=self.interpret,
+                family=self.family,
+            )
+            return 1.0 + counts
+
+        return jax.lax.map(one, (qb, fb))
+
+    def _get_tables(self, params):
         if self._tables_params is not params:
             self._tables_params, self._tables = params, self._prep(params)
-        rhs_pad, bt_row = self._tables
+        return self._tables
+
+    def rank_many(self, params, qb, fb):
+        rhs_pad, bt_row = self._get_tables(params)
+        return self._scan(params, qb, fb, rhs_pad, bt_row)
+
+    def __call__(self, params, q, fidx):
+        rhs_pad, bt_row = self._get_tables(params)
         lhs_pad, x2, c, t2, mask = self._qfn(params, q, fidx, rhs_pad, bt_row)
         counts = hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask,
                                  tile_n=self.tile_n, interpret=self.interpret,

@@ -30,33 +30,54 @@ def make_ranker(model, eval_batch_size: int):
     if getattr(model, "is_gnn", False):
         encode = jax.jit(lambda p: model.encode(p))
 
-        @jax.jit
-        def rank_core(params, cache, q, fidx):
+        def _core(params, cache, q, fidx):
             scores = model.score_all(params, q[:, :2], cache=cache)
             target = jnp.take_along_axis(scores, q[:, 2:3], axis=1)
             rows = jnp.arange(q.shape[0])[:, None]
             scores = scores.at[rows, fidx].set(-1e6, mode="drop")
             return 1.0 + jnp.sum(scores >= target, axis=1).astype(jnp.float32)
 
+        rank_core = jax.jit(_core)
+
+        @jax.jit
+        def rank_many_core(params, cache, qb, fb):
+            return jax.lax.map(lambda x: _core(params, cache, *x), (qb, fb))
+
         # cache keyed on the params OBJECT, held by strong reference (an id()
         # key could alias a new pytree allocated at a freed address)
         state = {"params": None, "cache": None}
 
-        def rank_batch(params, q, fidx):
+        def _bind(params):
             if state["params"] is not params:
                 state["params"], state["cache"] = params, encode(params)
-            return rank_core(params, state["cache"], q, fidx)
+            return state["cache"]
 
+        def rank_batch(params, q, fidx):
+            return rank_core(params, _bind(params), q, fidx)
+
+        rank_batch.rank_many = lambda params, qb, fb: rank_many_core(
+            params, _bind(params), qb, fb
+        )
         return rank_batch
 
-    @jax.jit
-    def rank_batch(params, q, fidx):
+    def _rank_one(params, q, fidx):
         scores = model.score_all(params, q[:, :2])  # (B, N)
         target = jnp.take_along_axis(scores, q[:, 2:3], axis=1)  # (B, 1)
         rows = jnp.arange(q.shape[0])[:, None]
         scores = scores.at[rows, fidx].set(-1e6, mode="drop")
         return 1.0 + jnp.sum(scores >= target, axis=1).astype(jnp.float32)
 
+    rank_batch = jax.jit(_rank_one)
+
+    @jax.jit
+    def rank_many(params, qb, fb):
+        """Whole-split ranking as ONE compiled program: lax.map over the
+        batch axis, so a split costs one dispatch instead of nb (the
+        per-dispatch round trip is the dominant eval cost on a remote
+        tunnel, and non-trivial even on a local chip)."""
+        return jax.lax.map(lambda x: _rank_one(params, *x), (qb, fb))
+
+    rank_batch.rank_many = rank_many
     return rank_batch
 
 
@@ -129,13 +150,21 @@ def get_ranking(model, params, pack, batch_size: int = 500, rank_fn=None):
         fidx = np.concatenate(
             [fidx, np.broadcast_to(fidx[:1], (pad, fidx.shape[1]))], axis=0
         )
-    ranks = []
-    for i in range(nb):
-        s = slice(i * batch_size, (i + 1) * batch_size)
-        # keep results on device: batches pipeline through jax's async
-        # dispatch instead of syncing to host every iteration
-        ranks.append(rank_fn(params, jnp.asarray(q[s]), jnp.asarray(fidx[s])))
-    out = np.concatenate([np.asarray(r) for r in ranks])[:n]
+    if hasattr(rank_fn, "rank_many"):
+        # one dispatch for the whole split (scan-compiled)
+        qb = jnp.asarray(q.reshape(nb, batch_size, 3))
+        fb = jnp.asarray(fidx.reshape(nb, batch_size, fidx.shape[1]))
+        out = np.asarray(rank_fn.rank_many(params, qb, fb)).reshape(-1)[:n]
+    else:
+        ranks = []
+        for i in range(nb):
+            s = slice(i * batch_size, (i + 1) * batch_size)
+            # keep results on device: batches pipeline through jax's async
+            # dispatch instead of syncing to host every iteration
+            ranks.append(
+                rank_fn(params, jnp.asarray(q[s]), jnp.asarray(fidx[s]))
+            )
+        out = np.concatenate([np.asarray(r) for r in ranks])[:n]
     assert np.isfinite(out).all()
     return out
 
