@@ -17,6 +17,7 @@ from complexhyperbolickge_tpu.train.evaluate import (
     avg_both,
     compute_metrics,
     format_metrics,
+    make_best_ranker,
 )
 
 
@@ -28,9 +29,15 @@ def test(model_dir: str, split: str = "test"):
         jax.config.update("jax_enable_x64", True)
     dataset = load_dataset(args)
     model = build_model(args, dataset)
-    params = load_checkpoint(model_dir)["params"]
+    # schema-check the checkpoint against the rebuilt model's shapes so a
+    # stale config/checkpoint mismatch fails with the parameter named
+    expected = model.init(jax.random.PRNGKey(0))
+    params = load_checkpoint(model_dir, expect_params=expected)["params"]
+    rank_fn = make_best_ranker(model, args.eval_batch_size,
+                               getattr(args, "eval_backend", "auto"))
     metrics = avg_both(
-        compute_metrics(model, params, dataset, split, args.eval_batch_size)
+        compute_metrics(model, params, dataset, split, args.eval_batch_size,
+                        rank_fn=rank_fn)
     )
     logging.info(format_metrics(metrics, split=split))
     return metrics

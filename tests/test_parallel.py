@@ -127,6 +127,35 @@ def test_model_axis_training_matches_single_device(data, setup, mesh_shape):
         )
 
 
+def test_pool_mode_training_on_mesh_matches_single_device(data, setup):
+    """neg_mode='pool' under a (4,2) mesh (row-sharded entity table): the
+    P-row pool gather becomes a GSPMD collective; results must match
+    single-device execution."""
+    model, params = setup
+    n_ent, n_rel, _ = data.get_shape()
+    tcfg = TrainConfig(learning_rate=0.05, batch_size=64, neg_sample_size=8,
+                       neg_mode="pool", neg_pool_size=16)
+    trainer = Trainer(model, tcfg, n_ent, n_rel)
+
+    ex = data.get_examples("train")
+    b, w, _ = epoch_batches(ex, tcfg.batch_size, np.random.default_rng(0))
+    key = jax.random.PRNGKey(42)
+
+    p1, _, loss1 = trainer.run_epoch(
+        jax.tree.map(jnp.copy, params), trainer.tx.init(params), b, w, key
+    )
+    mesh = make_mesh((4, 2))
+    sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    sb, sw, _ = shard_epoch_arrays(mesh, jnp.asarray(b), jnp.asarray(w))
+    p2, _, loss2 = trainer.run_epoch(sp, trainer.tx.init(sp), sb, sw, key)
+
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    for (k, a), (_, c) in zip(sorted(p1.items()), sorted(p2.items())):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=1e-6, err_msg=k
+        )
+
+
 def test_cli_with_mesh(tmp_path):
     """Full CLI protocol with --mesh 4x2 on the virtual 8-device mesh
     (DP-sharded training batches + entity-sharded shard_map eval)."""
