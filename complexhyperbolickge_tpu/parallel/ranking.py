@@ -98,4 +98,14 @@ def make_sharded_ranker(model, mesh, n_entities: int):
         local_rank, mesh=mesh, in_specs=in_specs, out_specs=P(),
         check_vma=False,
     )
-    return jax.jit(fn)
+    ranker = jax.jit(fn)
+
+    @jax.jit
+    def rank_many(params, qb, fb):
+        """Whole-split form: lax.map over batches with the shard_map body
+        inlined — one dispatch per split (train/evaluate.py::get_ranking
+        takes this path automatically)."""
+        return jax.lax.map(lambda x: fn(params, *x), (qb, fb))
+
+    ranker.rank_many = rank_many
+    return ranker

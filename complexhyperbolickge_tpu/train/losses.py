@@ -126,33 +126,38 @@ def neg_sampling_loss_pooled(model, params, batch, weights, key,
     """
     assert k <= pool_size, f"neg_sample_size {k} > neg_pool_size {pool_size}"
     queries, tails = batch[:, :2], batch[:, 2:3]
-    pos = model.score(params, queries, tails)  # (B, 1)
     factors = model.get_factors(params, queries, tails)
 
     keys = jax.random.split(key, 3)
     w = weights[:, None]
-    num = jnp.sum(w * _logsigmoid(pos))
-    den = jnp.sum(weights)
-
     pool = jax.random.randint(keys[0], (pool_size,), 0, n_entities)
     pool_rows = params["entity"][pool]
     pool_bt = params["bt"][pool]
     j = jnp.arange(pool_size, dtype=jnp.int32)[None, :]
 
-    def pooled_negs(kk, q, gold):
-        lhs, lhs_b = model.get_queries(params, q)
+    def pooled_negs(kk, lhs, lhs_b, gold):
         s = model.sim(lhs, pool_rows, all_pairs=True)  # (B, P)
         s = model._apply_bias(s, lhs_b, pool_bt, all_pairs=True)
-        off = jax.random.randint(kk, (q.shape[0], 1), 0, pool_size)
+        off = jax.random.randint(kk, (gold.shape[0], 1), 0, pool_size)
         in_win = jnp.remainder(j - off, pool_size) < k  # (B, P) window mask
         keep = w * in_win * (pool[None, :] != gold)
         return jnp.sum(keep * _logsigmoid(-s)), jnp.sum(keep)
 
-    n_t, d_t = pooled_negs(keys[1], queries, tails)
+    # one get_queries chain serves both the positive score and the
+    # tail-direction negatives
+    lhs, lhs_b = model.get_queries(params, queries)
+    rhs_e, rhs_b = model.get_rhs(params, tails)
+    pos = model._apply_bias(model.sim(lhs, rhs_e, all_pairs=False),
+                            lhs_b, rhs_b, all_pairs=False)  # (B, 1)
+    num = jnp.sum(w * _logsigmoid(pos))
+    den = jnp.sum(weights)
+
+    n_t, d_t = pooled_negs(keys[1], lhs, lhs_b, tails)
     num, den = num + n_t, den + d_t
     if double_neg:
         inv_q = jnp.stack([batch[:, 2], batch[:, 1] + n_rel // 2], axis=1)
-        n_h, d_h = pooled_negs(keys[2], inv_q, batch[:, 0:1])
+        inv_lhs, inv_b = model.get_queries(params, inv_q)
+        n_h, d_h = pooled_negs(keys[2], inv_lhs, inv_b, batch[:, 0:1])
         num, den = num + n_h, den + d_h
     return -num / den, factors
 

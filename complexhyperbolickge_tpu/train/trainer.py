@@ -190,6 +190,11 @@ class Trainer:
                 )
         else:
             raise ValueError(f"unknown loss {cfg.loss!r}")
+        if not cfg.reg:
+            # reg weight 0 (every published config): skip the regularizer
+            # graph entirely so the factor gathers/norms are never computed
+            # (XLA cannot fold x*0.0 away under NaN semantics)
+            return loss
         if is_gnn:
             # GNN factors are encoder weight matrices; the reference
             # normalizes by factors[0].shape[0] (regularizers.py:29,57)
