@@ -38,12 +38,21 @@ def neg_sampling_loss(model, params, batch, weights, key, n_entities: int,
                       k: int, double_neg: bool, n_rel: int):
     """-mean[logsig(pos) ++ logsig(-neg)] over valid elements."""
     queries, tails = batch[:, :2], batch[:, 2:3]
-    pos = model.score(params, queries, tails)  # (B, 1)
     factors = model.get_factors(params, queries, tails)
 
+    # one get_queries chain serves the positive AND negative scores (same
+    # math as two model.score calls, which XLA does not reliably CSE)
+    lhs, lhs_b = model.get_queries(params, queries)
+
+    def score_with(t_ids):
+        rhs_e, rhs_b = model.get_rhs(params, t_ids)
+        return model._apply_bias(model.sim(lhs, rhs_e, all_pairs=False),
+                                 lhs_b, rhs_b, all_pairs=False)
+
+    pos = score_with(tails)  # (B, 1)
     keys = jax.random.split(key, 2)
     neg_t = sample_negatives(keys[0], batch, n_entities, k)
-    neg_s = model.score(params, queries, neg_t)  # (B, k)
+    neg_s = score_with(neg_t)  # (B, k)
 
     w = weights[:, None]
     num = jnp.sum(w * _logsigmoid(pos)) + jnp.sum(w * _logsigmoid(-neg_s))
@@ -76,27 +85,32 @@ def neg_sampling_loss_shared(model, params, batch, weights, key,
     --neg_mode shared.
     """
     queries, tails = batch[:, :2], batch[:, 2:3]
-    pos = model.score(params, queries, tails)  # (B, 1)
     factors = model.get_factors(params, queries, tails)
 
     keys = jax.random.split(key, 2)
     w = weights[:, None]
-    num = jnp.sum(w * _logsigmoid(pos))
-    den = jnp.sum(weights)
 
-    def shared_negs(kk, q, gold):
+    def shared_negs(kk, lhs, lhs_b, gold):
         neg_ids = jax.random.randint(kk, (k,), 0, n_entities)
-        lhs, lhs_b = model.get_queries(params, q)
         s = model.sim(lhs, params["entity"][neg_ids], all_pairs=True)  # (B,K)
         s = model._apply_bias(s, lhs_b, params["bt"][neg_ids], all_pairs=True)
         keep = w * (neg_ids[None, :] != gold)  # mask gold-tail collisions
         return jnp.sum(keep * _logsigmoid(-s)), jnp.sum(keep)
 
-    n_t, d_t = shared_negs(keys[0], queries, tails)
+    # one get_queries chain serves the positive and the negatives
+    lhs, lhs_b = model.get_queries(params, queries)
+    rhs_e, rhs_b = model.get_rhs(params, tails)
+    pos = model._apply_bias(model.sim(lhs, rhs_e, all_pairs=False),
+                            lhs_b, rhs_b, all_pairs=False)  # (B, 1)
+    num = jnp.sum(w * _logsigmoid(pos))
+    den = jnp.sum(weights)
+
+    n_t, d_t = shared_negs(keys[0], lhs, lhs_b, tails)
     num, den = num + n_t, den + d_t
     if double_neg:
         inv_q = jnp.stack([batch[:, 2], batch[:, 1] + n_rel // 2], axis=1)
-        n_h, d_h = shared_negs(keys[1], inv_q, batch[:, 0:1])
+        inv_lhs, inv_b = model.get_queries(params, inv_q)
+        n_h, d_h = shared_negs(keys[1], inv_lhs, inv_b, batch[:, 0:1])
         num, den = num + n_h, den + d_h
     return -num / den, factors
 
