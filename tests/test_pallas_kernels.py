@@ -171,3 +171,18 @@ def test_best_ranker_failure_is_loud(monkeypatch, caplog):
         make_best_ranker(_tiny_model("TransE", 8), 8, "pallas")
     assert any("no fused pallas ranker" in r.message.lower()
                for r in caplog.records)
+
+
+def test_maskless_ranker_matches_masked(setup):
+    """The subtract-filtered (maskless) kernel path must equal the dense-mask
+    path exactly — same score arithmetic on both sides of the subtraction."""
+    from complexhyperbolickge_tpu.kernels.chyp_rank import PallasChypRanker
+
+    data, model, params = setup
+    pack = data.eval_pack("test", "rhs")
+    masked = PallasChypRanker(model, 64, interpret=True, masked=True)
+    maskless = PallasChypRanker(model, 64, interpret=True, masked=False)
+    q, f = jnp.asarray(pack.queries), jnp.asarray(pack.filter_idx)
+    np.testing.assert_array_equal(
+        np.asarray(masked(params, q, f)), np.asarray(maskless(params, q, f))
+    )
