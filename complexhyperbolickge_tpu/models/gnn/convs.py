@@ -154,8 +154,12 @@ class CompGCNConv:
         def direction(sl, w):
             r = rel[etype[sl]]
             msg = self._compose(x[tail[sl]], r) @ w
-            norm = M.compute_norm(head[sl], edge_w[sl], n_ent)
-            return M.segment_sum(norm[:, None] * msg, head[sl], n_ent)
+            # each [forward; inverse] half arrives sorted by head
+            # (GNNModel.__init__) -> sorted-scatter fast path
+            norm = M.compute_norm(head[sl], edge_w[sl], n_ent,
+                                  indices_are_sorted=True)
+            return M.segment_sum(norm[:, None] * msg, head[sl], n_ent,
+                                 indices_are_sorted=True)
 
         agg_in = direction(slice(0, half), p["w_in"])
         agg_out = direction(slice(half, e), p["w_out"])
@@ -272,12 +276,16 @@ class PoincareConv:
 
         msgs = jnp.concatenate([msg_in, msg_out], axis=0)
         return self._aggregate_and_mix(p, msgs, msg_loop, head, tail, edge_w,
-                                       n_ent, lc)
+                                       n_ent, lc, sorted_halves=True)
 
-    def _aggregate_and_mix(self, p, msgs, msg_loop, head, tail, edge_w, n_ent, lc):
-        norm = M.compute_symmetric_norm(head, tail, edge_w, n_ent)
-        agg = M.segment_sum(norm[:, None] * msgs, head, n_ent)
-        degs = M.segment_sum(edge_w, head, n_ent)
+    def _aggregate_and_mix(self, p, msgs, msg_loop, head, tail, edge_w, n_ent,
+                           lc, sorted_halves=False):
+        seg = M.segment_sum_sorted_halves if sorted_halves else (
+            lambda v, i, n: M.segment_sum(v, i, n))
+        norm = M.compute_symmetric_norm(head, tail, edge_w, n_ent,
+                                        head_sorted_halves=sorted_halves)
+        agg = seg(norm[:, None] * msgs, head, n_ent)
+        degs = seg(edge_w, head, n_ent)
 
         # gyro-barycenter of (aggregate, self-loop) with learned weight
         lw = jax.nn.sigmoid(p["loop_weight"])
@@ -401,11 +409,15 @@ class LorentzConv(PoincareConv):
 
         msgs = jnp.concatenate([msg_in, msg_out], axis=0)
         return self._aggregate_and_mix(p, msgs, msg_loop, head, tail, edge_w,
-                                       n_ent, lc)
+                                       n_ent, lc, sorted_halves=True)
 
-    def _aggregate_and_mix(self, p, msgs, msg_loop, head, tail, edge_w, n_ent, lc):
-        norm = M.compute_norm(head, edge_w, n_ent)
-        agg = M.segment_sum(norm[:, None] * msgs, head, n_ent)
+    def _aggregate_and_mix(self, p, msgs, msg_loop, head, tail, edge_w, n_ent,
+                           lc, sorted_halves=False):
+        norm = (M.compute_norm_sorted_halves(head, edge_w, n_ent)
+                if sorted_halves else M.compute_norm(head, edge_w, n_ent))
+        agg = (M.segment_sum_sorted_halves(norm[:, None] * msgs, head, n_ent)
+               if sorted_halves else
+               M.segment_sum(norm[:, None] * msgs, head, n_ent))
 
         lw = jax.nn.sigmoid(p["loop_weight"])
         hb = H.explicit_lorentz(H.expmap0_lorentz(agg, lc), lc)

@@ -41,13 +41,19 @@ def neg_sampling_loss(model, params, batch, weights, key, n_entities: int,
     factors = model.get_factors(params, queries, tails)
 
     # one get_queries chain serves the positive AND negative scores (same
-    # math as two model.score calls, which XLA does not reliably CSE)
-    lhs, lhs_b = model.get_queries(params, queries)
+    # math as two model.score calls, which XLA does not reliably CSE).
+    # BoundGNN (cache-bound wrapper) exposes only score(): use it directly —
+    # its decoder chain is cheap next to the shared encoder cache anyway.
+    if hasattr(model, "get_queries"):
+        lhs, lhs_b = model.get_queries(params, queries)
 
-    def score_with(t_ids):
-        rhs_e, rhs_b = model.get_rhs(params, t_ids)
-        return model._apply_bias(model.sim(lhs, rhs_e, all_pairs=False),
-                                 lhs_b, rhs_b, all_pairs=False)
+        def score_with(t_ids):
+            rhs_e, rhs_b = model.get_rhs(params, t_ids)
+            return model._apply_bias(model.sim(lhs, rhs_e, all_pairs=False),
+                                     lhs_b, rhs_b, all_pairs=False)
+    else:
+        def score_with(t_ids):
+            return model.score(params, queries, t_ids)
 
     pos = score_with(tails)  # (B, 1)
     keys = jax.random.split(key, 2)
