@@ -1,0 +1,85 @@
+"""Serving CLI: top-k tail prediction from a trained checkpoint.
+
+Beyond the reference (which has no inference entry point — its test.py only
+reports ranking metrics): loads a model dir, takes (head, rel) queries, and
+prints the top-k candidate tails with scores, optionally filtering out
+already-known facts.
+
+    python -m complexhyperbolickge_tpu.cli.predict --model_dir runs/fftroth \
+        --queries 12:3 45:0 --k 10 --filter_known
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from complexhyperbolickge_tpu.cli.run import build_model, load_dataset, setup_logging
+from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint, load_config
+from complexhyperbolickge_tpu.train.evaluate import make_predictor
+
+
+def predict(model_dir: str, queries, k: int = 10, filter_known: bool = False):
+    setup_logging(model_dir)
+    cfg = load_config(model_dir)["args"]
+    args = argparse.Namespace(**cfg)
+    if args.dtype in ("double", "float64"):
+        jax.config.update("jax_enable_x64", True)
+    dataset = load_dataset(args)
+    model = build_model(args, dataset)
+    expected = model.init(jax.random.PRNGKey(0))
+    params = load_checkpoint(model_dir, expect_params=expected)["params"]
+
+    q = np.asarray(queries, dtype=np.int32)
+    assert q.ndim == 2 and q.shape[1] == 2, "queries must be (B, 2) (head, rel)"
+    n_ent = dataset.n_entities
+    assert (q[:, 0] < n_ent).all(), "head id out of range"
+    assert (q[:, 1] < dataset.n_predicates).all(), "relation id out of range"
+
+    fidx = None
+    if filter_known:
+        skip = dataset.get_filters()["rhs"]
+        lists = [skip.get((int(h), int(r)), []) for h, r in q]
+        lmax = max((len(v) for v in lists), default=0) or 1
+        fidx = np.full((len(q), lmax), n_ent, dtype=np.int32)
+        for i, l in enumerate(lists):
+            fidx[i, : len(l)] = l
+        fidx = jnp.asarray(fidx)
+
+    fn = make_predictor(model, k=k)
+    ids, scores = fn(params, jnp.asarray(q), fidx)
+    out = []
+    for row_q, row_i, row_s in zip(q, np.asarray(ids), np.asarray(scores)):
+        out.append({
+            "head": int(row_q[0]),
+            "rel": int(row_q[1]),
+            "tails": [int(x) for x in row_i],
+            "scores": [float(x) for x in row_s],
+        })
+        logging.info("(%d, %d) -> %s", row_q[0], row_q[1],
+                     list(zip(out[-1]["tails"], out[-1]["scores"])))
+    print(json.dumps(out))
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser(description="Top-k tail prediction")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--queries", nargs="+", required=True,
+                   help="queries as HEAD:REL id pairs, e.g. 12:3 45:0")
+    p.add_argument("--k", default=10, type=int)
+    p.add_argument("--filter_known", action="store_true",
+                   help="mask tails already known from train/valid/test")
+    a = p.parse_args()
+    qs = [tuple(int(x) for x in s.split(":")) for s in a.queries]
+    predict(a.model_dir, qs, k=a.k, filter_known=a.filter_known)
+
+
+if __name__ == "__main__":
+    main()

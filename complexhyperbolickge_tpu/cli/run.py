@@ -224,12 +224,24 @@ def train(args) -> dict:
         _, valid_labels = dataset.label_pack("valid")
 
     start_epoch, best_mrr, best_epoch, counter = 1, None, None, 0
-    if args.resume and os.path.exists(os.path.join(save_dir, "state.pkl")):
-        st = load_checkpoint(save_dir, expect_params=params)
-        params, opt_state = st["params"], st["opt_state"]
-        start_epoch = st["epoch"] + 1
-        best_mrr = st["best_mrr"]
-        logging.info("Resumed from epoch %d", st["epoch"])
+    if args.resume:
+        # prefer the newest of the best checkpoint (state.pkl) and the
+        # rolling resume point (latest.pkl, written at validation cadence
+        # and on SIGTERM)
+        candidates = []
+        for fn in ("state.pkl", "latest.pkl"):
+            if os.path.exists(os.path.join(save_dir, fn)):
+                st = load_checkpoint(save_dir, expect_params=params,
+                                     filename=fn)
+                candidates.append(st)
+        if candidates:
+            st = max(candidates, key=lambda s: s["epoch"])
+            params, opt_state = st["params"], st["opt_state"]
+            start_epoch = st["epoch"] + 1
+            best_mrr = st["best_mrr"]
+            counter = st.get("counter", 0)
+            best_epoch = st.get("best_epoch", None)
+            logging.info("Resumed from epoch %d", st["epoch"])
 
     if mesh is not None and mesh.shape["model"] > 1 \
             and sizes[0] % mesh.shape["model"] == 0 \
@@ -251,7 +263,24 @@ def train(args) -> dict:
 
     from complexhyperbolickge_tpu.utils.profiling import trace
 
+    # SIGTERM-safe training: finish the current epoch, write latest.pkl,
+    # exit cleanly (resume with --resume); the best checkpoint is untouched
+    import signal
+
+    stop_signal = {"flag": False}
+
+    def _on_term(signum, frame):
+        stop_signal["flag"] = True
+        logging.info("signal %d received: will checkpoint latest state and "
+                     "stop at the epoch boundary", signum)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:
+        pass  # not the main thread (library use) — feature unavailable
+
     logging.info("\t Start training")
+    epoch = start_epoch - 1
     for epoch in range(start_epoch, args.max_epochs + 1):
         t0 = time.perf_counter()
         # keys and shuffles derive from (seed, epoch), not an advancing
@@ -291,6 +320,15 @@ def train(args) -> dict:
         valid_loss = trainer.valid_loss(params, vb, vw, vk, labels=vlab)
         logging.info("\t Epoch %d | average valid loss: %.4f", epoch, valid_loss)
 
+        if stop_signal["flag"]:
+            save_checkpoint(save_dir, params, opt_state, epoch, best_mrr,
+                            filename="latest.pkl",
+                            extra={"counter": counter,
+                                   "best_epoch": best_epoch})
+            logging.info("\t Stopped by signal at epoch %d; latest state "
+                         "saved — resume with --resume", epoch)
+            break
+
         if epoch % args.valid == 0:
             valid_metrics = avg_both(compute_metrics(
                 model, params, dataset, "valid", args.eval_batch_size,
@@ -308,13 +346,21 @@ def train(args) -> dict:
                 if counter == args.patience:
                     logging.info("\t Early stopping")
                     break
+            # rolling resume point, written AFTER best-checkpoint updates so
+            # a resumed run restores the post-validation best_mrr/counter
+            save_checkpoint(save_dir, params, opt_state, epoch, best_mrr,
+                            filename="latest.pkl",
+                            extra={"counter": counter,
+                                   "best_epoch": best_epoch})
 
     logging.info("\t Optimization finished")
     if best_mrr:
         logging.info("\t Loading best model saved at epoch %s", best_epoch)
         params = load_checkpoint(save_dir)["params"]
     else:
-        save_checkpoint(save_dir, params, opt_state, args.max_epochs, None,
+        # record the LAST COMPLETED epoch, not max_epochs — the run may have
+        # stopped early (signal); a wrong epoch here corrupts --resume
+        save_checkpoint(save_dir, params, opt_state, epoch, None,
                         config={"args": vars(args)})
 
     valid_metrics = avg_both(compute_metrics(

@@ -37,7 +37,12 @@ def _schema(params):
 
 
 def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
-                    best_mrr: float | None = None, config: dict | None = None):
+                    best_mrr: float | None = None, config: dict | None = None,
+                    filename: str = "state.pkl", extra: dict | None = None):
+    """filename='state.pkl' is the BEST-validation checkpoint (final reload +
+    test.py); filename='latest.pkl' is the rolling resume point written at
+    validation cadence and on SIGTERM, so interruption never clobbers the
+    best weights."""
     os.makedirs(path, exist_ok=True)
     state = {
         "format_version": FORMAT_VERSION,
@@ -47,10 +52,12 @@ def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
         "epoch": epoch,
         "best_mrr": best_mrr,
     }
-    tmp = os.path.join(path, "state.pkl.tmp")
+    if extra:
+        state.update(extra)
+    tmp = os.path.join(path, filename + ".tmp")
     with open(tmp, "wb") as f:
         pickle.dump(state, f)
-    os.replace(tmp, os.path.join(path, "state.pkl"))
+    os.replace(tmp, os.path.join(path, filename))
     if config is not None:
         cfg = {
             k: (dataclasses.asdict(v) if dataclasses.is_dataclass(v) else v)
@@ -61,12 +68,12 @@ def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
 
 
 def load_checkpoint(path: str, device_put: bool = True,
-                    expect_params=None):
-    """Load state.pkl; validates the stored schema against itself and,
-    when `expect_params` (a live params pytree) is given, against the
+                    expect_params=None, filename: str = "state.pkl"):
+    """Load a checkpoint file; validates the stored schema against itself
+    and, when `expect_params` (a live params pytree) is given, against the
     caller's expected shapes/dtypes — failing fast with the offending
     parameter named."""
-    with open(os.path.join(path, "state.pkl"), "rb") as f:
+    with open(os.path.join(path, filename), "rb") as f:
         state = pickle.load(f)
     ver = state.get("format_version", 0)
     if ver > FORMAT_VERSION:

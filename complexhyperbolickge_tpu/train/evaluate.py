@@ -138,6 +138,45 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto"):
     return make_ranker(model, eval_batch_size)
 
 
+def make_predictor(model, k: int = 10):
+    """Compiled top-k tail prediction for (head, rel) queries — the serving
+    path (beyond the reference, which only ranks gold answers).  Returns
+    fn(params, queries (B, 2), filter_idx=None) -> (ids (B, k), scores
+    (B, k)); filter_idx (padded known-true-tail ids, data/dataset.py
+    layout) masks known facts so predictions are NEW candidates."""
+
+    if getattr(model, "is_gnn", False):
+        encode = jax.jit(lambda p: model.encode(p))
+        state = {"params": None, "cache": None}
+
+        @jax.jit
+        def _predict(params, cache, queries, fidx):
+            scores = model.score_all(params, queries, cache=cache)
+            if fidx is not None:
+                rows = jnp.arange(queries.shape[0])[:, None]
+                scores = scores.at[rows, fidx].set(-jnp.inf, mode="drop")
+            vals, ids = jax.lax.top_k(scores, k)
+            return ids, vals
+
+        def predict(params, queries, fidx=None):
+            if state["params"] is not params:
+                state["params"], state["cache"] = params, encode(params)
+            return _predict(params, state["cache"], queries, fidx)
+
+        return predict
+
+    @jax.jit
+    def predict(params, queries, fidx=None):
+        scores = model.score_all(params, queries)
+        if fidx is not None:
+            rows = jnp.arange(queries.shape[0])[:, None]
+            scores = scores.at[rows, fidx].set(-jnp.inf, mode="drop")
+        vals, ids = jax.lax.top_k(scores, k)
+        return ids, vals
+
+    return predict
+
+
 def get_ranking(model, params, pack, batch_size: int = 500, rank_fn=None):
     """Ranks of the gold entity for every query in an EvalPack."""
     rank_fn = rank_fn or make_ranker(model, batch_size)

@@ -121,3 +121,26 @@ def test_subgraph_training(data, loss):
         losses.append(loss_v)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_epoch_yields_padded_tail_batch():
+    """The final partial seed batch must be yielded (padded + query-masked),
+    not dropped: every train edge seeds exactly one batch per epoch
+    (round-1 advisor finding)."""
+    import numpy as np
+
+    from complexhyperbolickge_tpu.data.dataset import synthetic_kg
+    from complexhyperbolickge_tpu.data.sampler import NeighborSampler
+
+    data = synthetic_kg(n_entities=50, n_relations=3, n_train=250, n_valid=20,
+                        n_test=20, seed=2)
+    s = NeighborSampler(data, fanouts=(4,), max_nodes=512, max_edges=2048,
+                        force_numpy=True)
+    bs = 64  # n_train_edges = 500 (with inverses) -> 7 full + tail of 52
+    batches = list(s.epoch(bs, np.random.default_rng(0)))
+    assert len(batches) == -(-s.n_train_edges // bs)
+    total_real = sum(int(b.query_weight.sum()) for b in batches)
+    assert total_real == s.n_train_edges
+    tail = batches[-1]
+    assert tail.queries.shape[0] == bs  # padded to full batch size
+    assert tail.query_weight.sum() == s.n_train_edges % bs

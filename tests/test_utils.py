@@ -35,3 +35,38 @@ def test_step_timer():
             sum(range(1000))
     assert t.rate(100.0) > 0
     assert t.mean_ms >= 0
+
+
+def test_make_predictor_topk_matches_score_all():
+    """Serving path: top-k ids/scores must equal argsort of score_all, and
+    filter_idx must remove known tails from the candidates."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from complexhyperbolickge_tpu.models import ModelConfig, get_model
+    from complexhyperbolickge_tpu.train.evaluate import make_predictor
+
+    n_ent, n_rel, b, k = 40, 6, 5, 7
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=6,
+                      multi_c=True, bias="learn", dtype="float32")
+    model = get_model("RotE")(cfg)
+    rng = np.random.default_rng(0)
+    params = {
+        kk: jnp.asarray(rng.uniform(-0.5, 0.5, size=shape), dtype=jnp.float32)
+        for kk, (shape, _) in model.param_specs().items()
+    }
+    q = jnp.asarray(np.stack([rng.integers(0, n_ent, b),
+                              rng.integers(0, n_rel, b)], 1).astype(np.int32))
+
+    ids, scores = make_predictor(model, k=k)(params, q)
+    full = np.asarray(model.score_all(params, q))
+    expect = np.argsort(-full, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(ids), expect)
+    np.testing.assert_allclose(
+        np.asarray(scores), np.take_along_axis(full, expect, 1), rtol=1e-6)
+
+    # filtering: mask the unfiltered top-1 of each row -> it must disappear
+    fidx = np.asarray(ids)[:, :1].astype(np.int32)
+    ids2, _ = make_predictor(model, k=k)(params, q, jnp.asarray(fidx))
+    assert all(fidx[i, 0] not in np.asarray(ids2)[i] for i in range(b))
