@@ -73,9 +73,12 @@ def main():
     for _ in range(n_epochs):
         key, k = jax.random.split(key)
         params, opt_state, loss = trainer.run_epoch(params, opt_state, b, w, k)
-    jax.block_until_ready(params)
+    # block_until_ready is unreliable through the axon tunnel (can return
+    # before device work completes); force host materialization of a value
+    # data-dependent on every timed epoch (each epoch feeds the next).
+    loss_host = float(loss)
     dt = time.perf_counter() - t0
-    assert np.isfinite(loss)
+    assert np.isfinite(loss_host)
 
     tps = n_epochs * n_train / dt
     print(json.dumps({
