@@ -157,6 +157,63 @@ def test_cli_resume(tmp_path):
     assert 0.0 <= out["test"]["MRR"] <= 1.0
 
 
+def test_cli_sigterm_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-training finishes the epoch, writes latest.pkl, exits 0;
+    --resume continues from the interrupted epoch (cli/run.py signal path,
+    previously only driven manually)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    base = [
+        sys.executable, "-m", "complexhyperbolickge_tpu.cli.run",
+        "--dataset", "synthetic", "--model", "RotE", "--rank", "6",
+        "--valid", "1", "--patience", "50", "--batch_size", "256",
+        "--eval_batch_size", "128", "--neg_sample_size", "5",
+        "--optimizer", "Adam", "--learning_rate", "0.01",
+        "--dtype", "float32", "--save_dir", str(tmp_path),
+    ]
+    log = tmp_path / "run.log"
+    with open(log, "w") as lf:
+        proc = subprocess.Popen(base + ["--max_epochs", "500"],
+                                stdout=lf, stderr=subprocess.STDOUT, env=env)
+        try:
+            # wait until at least one epoch has trained, then signal
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        f"training exited early rc={proc.returncode}:\n"
+                        + log.read_text()
+                    )
+                if "average valid loss" in log.read_text():
+                    break
+                time.sleep(0.5)
+            else:
+                raise AssertionError("no epoch finished in 300s:\n"
+                                     + log.read_text())
+            proc.send_signal(signal.SIGTERM)
+            rc = proc.wait(timeout=300)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+    text = log.read_text()
+    assert rc == 0, text
+    assert "Stopped by signal" in text, text
+    assert (tmp_path / "latest.pkl").exists(), text
+
+    stopped_epoch = load_checkpoint(str(tmp_path), filename="latest.pkl")["epoch"]
+    out = subprocess.run(
+        base + ["--max_epochs", str(stopped_epoch + 1), "--resume"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert f"Resumed from epoch {stopped_epoch}" in out.stdout, out.stdout
+
+
 def test_cli_full_protocol(tmp_path):
     from complexhyperbolickge_tpu.cli.run import build_parser, train
     from complexhyperbolickge_tpu.cli.test import test as eval_cli
