@@ -63,7 +63,10 @@ def main():
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(params, jq, jf)
-        jax.block_until_ready(out)
+        # block_until_ready is unreliable through the axon tunnel; force a
+        # host copy of the last output (device work executes in dispatch
+        # order, so this fences the whole loop)
+        np.asarray(out)
         return n * B / (time.perf_counter() - t0)
 
     # the remote-compile tunnel makes single trials swing multiples; report

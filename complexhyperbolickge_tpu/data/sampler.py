@@ -25,10 +25,22 @@ import subprocess
 
 import numpy as np
 
-_LIB_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native", "libkgsampler.so",
-)
+# Search order: env override -> package-local copy (installed wheels,
+# setup.py::BuildWithSampler) -> repo-root native/ (source checkouts,
+# self-built via make).
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_CANDIDATES = [
+    p
+    for p in (
+        os.environ.get("KGSAMPLER_LIB"),
+        os.path.join(_PKG_DIR, "libkgsampler.so"),
+        os.path.join(os.path.dirname(os.path.dirname(_PKG_DIR)),
+                     "native", "libkgsampler.so"),
+    )
+    if p
+]
+_LIB_PATH = next((p for p in _LIB_CANDIDATES if os.path.exists(p)),
+                 _LIB_CANDIDATES[-1])
 
 _I64P = ctypes.POINTER(ctypes.c_int64)
 _U8P = ctypes.POINTER(ctypes.c_uint8)
