@@ -168,6 +168,9 @@ def test_cli_sigterm_checkpoints_and_resumes(tmp_path):
     import time
 
     env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    # without this the axon sitecustomize registers the tunneled-TPU backend
+    # and the subprocess trains over the tunnel instead of on CPU
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     base = [
         sys.executable, "-m", "complexhyperbolickge_tpu.cli.run",
         "--dataset", "synthetic", "--model", "RotE", "--rank", "6",

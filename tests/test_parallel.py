@@ -156,6 +156,47 @@ def test_pool_mode_training_on_mesh_matches_single_device(data, setup):
         )
 
 
+def test_gnn_training_on_mesh_matches_single_device(data):
+    """CompGCN (full-graph encoder: segment-sum message passing) trained on a
+    (4,2) mesh with sharded params/batches must match single-device training —
+    GSPMD must handle the encoder's gathers/segment-sums over the row-sharded
+    entity table.  (The CLI permits --mesh for GNN models; this is the test
+    behind that.)"""
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, dtype="float32")
+
+    class _Args:
+        hidden_dim = 8
+        layers = 2
+        edge_dropout = 0.0  # dropout keys must line up; keep it deterministic
+        dropout = 0.0
+        opn = "mult"
+        interaction = "distmult"
+        basis = 0
+
+    model = get_model("CompGCN")(cfg, _Args(), data)
+    params = model.init(jax.random.PRNGKey(0))
+    tcfg = TrainConfig(learning_rate=0.05, batch_size=64, neg_sample_size=8)
+    trainer = Trainer(model, tcfg, n_ent, n_rel)
+
+    ex = data.get_examples("train")
+    b, w, _ = epoch_batches(ex, tcfg.batch_size, np.random.default_rng(0))
+    key = jax.random.PRNGKey(42)
+
+    p1, _, loss1 = trainer.run_epoch(
+        jax.tree.map(jnp.copy, params), trainer.tx.init(params), b, w, key
+    )
+    mesh = make_mesh((4, 2))
+    sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    sb, sw, _ = shard_epoch_arrays(mesh, jnp.asarray(b), jnp.asarray(w))
+    p2, _, loss2 = trainer.run_epoch(sp, trainer.tx.init(sp), sb, sw, key)
+
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
 def test_cli_with_mesh(tmp_path):
     """Full CLI protocol with --mesh 4x2 on the virtual 8-device mesh
     (DP-sharded training batches + entity-sharded shard_map eval)."""
