@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device mesh 'DATAxMODEL' (e.g. 4x2): shard batches "
                         "over 'data' and the entity table / eval score axis "
                         "over 'model'; default single-device")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() so "
+                        "--mesh spans all hosts' devices (slice boundary "
+                        "lands on the 'data' axis; launch one process per "
+                        "host with the standard JAX coordinator env)")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax profiler trace of one epoch here")
     p.add_argument("--debug_nans", action="store_true",
@@ -159,6 +164,9 @@ def build_model(args, dataset: KGData):
 
 
 def train(args) -> dict:
+    if getattr(args, "distributed", False):
+        # must run before any backend-initializing jax call
+        jax.distributed.initialize()
     save_dir = args.save_dir
     os.makedirs(save_dir, exist_ok=True)
     setup_logging(save_dir)

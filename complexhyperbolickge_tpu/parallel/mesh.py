@@ -34,11 +34,32 @@ def make_mesh(shape=None, devices=None) -> Mesh:
     Default shape: all devices on 'data', 1 on 'model' — the right layout
     for these dataset scales, where parameters fit per-chip and throughput
     comes from batch parallelism.
+
+    Multi-slice (DCN): under multi-process JAX (`jax.distributed.initialize`
+    called by the launcher; `jax.process_count() > 1`) the mesh is built with
+    `create_hybrid_device_mesh` so the slice boundary lands on the OUTER
+    'data' axis — the only cross-slice traffic is then the DP gradient psum,
+    while 'model' (entity-sharded gathers + rank-count psums) stays on ICI.
+    'data' must be divisible by the number of slices in that case.
     """
     devices = devices if devices is not None else jax.devices()
     if shape is None:
         shape = (len(devices), 1)
-    dev_mesh = mesh_utils.create_device_mesh(shape, devices=np.asarray(devices))
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices > 1:
+        assert shape[0] % n_slices == 0, (
+            f"'data' axis {shape[0]} must be divisible by {n_slices} slices "
+            "(the slice boundary maps onto the data axis)"
+        )
+        dev_mesh = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(shape[0] // n_slices, shape[1]),
+            dcn_mesh_shape=(n_slices, 1),
+            devices=devices,
+        )
+    else:
+        dev_mesh = mesh_utils.create_device_mesh(
+            shape, devices=np.asarray(devices)
+        )
     return Mesh(dev_mesh, axis_names=("data", "model"))
 
 
@@ -58,13 +79,25 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
     return {k: jax.device_put(v, sh[k]) for k, v in params.items()}
 
 
+def _put(arr, sharding):
+    """device_put in single-process; in multi-process JAX every host holds
+    the full host array (the data layer is deterministic per epoch seed), so
+    build the global array from each process's local slice."""
+    if jax.process_count() > 1:
+        a = np.asarray(arr)
+        # every host passes the FULL array (global_shape == a.shape); jax
+        # slices out each device's shard
+        return jax.make_array_from_process_local_data(sharding, a, a.shape)
+    return jax.device_put(arr, sharding)
+
+
 def shard_epoch_arrays(mesh: Mesh, batches, weights, labels=None):
     """Commit epoch arrays with the batch dim on 'data' (scan dim unsharded)."""
     bs = NamedSharding(mesh, P(None, "data"))
     ws = NamedSharding(mesh, P(None, "data"))
-    out = (jax.device_put(batches, bs), jax.device_put(weights, ws))
+    out = (_put(batches, bs), _put(weights, ws))
     if labels is not None:
-        out += (jax.device_put(labels, NamedSharding(mesh, P(None, "data", None))),)
+        out += (_put(labels, NamedSharding(mesh, P(None, "data", None))),)
     else:
         out += (None,)
     return out
