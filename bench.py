@@ -68,19 +68,23 @@ def main():
     params, opt_state, loss = trainer.run_epoch(params, opt_state, b, w, k0)
     assert np.isfinite(loss)
 
-    n_epochs = 3
-    t0 = time.perf_counter()
-    for _ in range(n_epochs):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = trainer.run_epoch(params, opt_state, b, w, k)
-    # block_until_ready is unreliable through the axon tunnel (can return
-    # before device work completes); force host materialization of a value
-    # data-dependent on every timed epoch (each epoch feeds the next).
-    loss_host = float(loss)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(loss_host)
+    # Median of three timed windows: single-window readings swing ~±15%
+    # through the remote-compile tunnel.  run_epoch host-materializes the
+    # epoch loss (block_until_ready alone is unreliable on this link), so
+    # every window is fenced on all its device work.
+    windows = []
+    for _ in range(3):
+        n_epochs = 2
+        t0 = time.perf_counter()
+        for _ in range(n_epochs):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = trainer.run_epoch(
+                params, opt_state, b, w, k)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(loss)
+        windows.append(n_epochs * n_train / dt)
 
-    tps = n_epochs * n_train / dt
+    tps = float(np.median(windows))
     print(json.dumps({
         "metric": "fftroth_train_throughput_wn18rr_b500_neg100_rank33_poolneg",
         "value": round(tps, 1),
