@@ -39,13 +39,21 @@ def predict(model_dir: str, queries, k: int = 10, filter_known: bool = False):
     q = np.asarray(queries, dtype=np.int32)
     assert q.ndim == 2 and q.shape[1] == 2, "queries must be (B, 2) (head, rel)"
     n_ent = dataset.n_entities
-    assert (q[:, 0] < n_ent).all(), "head id out of range"
-    assert (q[:, 1] < dataset.n_predicates).all(), "relation id out of range"
+    assert ((q[:, 0] >= 0) & (q[:, 0] < n_ent)).all(), "head id out of range"
+    assert ((q[:, 1] >= 0) & (q[:, 1] < dataset.n_predicates)).all(), \
+        "relation id out of range"
 
     fidx = None
     if filter_known:
-        skip = dataset.get_filters()["rhs"]
-        lists = [skip.get((int(h), int(r)), []) for h, r in q]
+        # rhs filters are keyed by raw relation ids; inverse-relation
+        # queries (r >= n_rel/2, i.e. head prediction) live in the lhs dict,
+        # which is keyed by the offset id directly (preprocess.py:50-64)
+        skip = dataset.get_filters()
+        n_raw = dataset.n_predicates // 2
+        lists = [
+            skip["rhs" if int(r) < n_raw else "lhs"].get((int(h), int(r)), [])
+            for h, r in q
+        ]
         lmax = max((len(v) for v in lists), default=0) or 1
         fidx = np.full((len(q), lmax), n_ent, dtype=np.int32)
         for i, l in enumerate(lists):

@@ -192,8 +192,9 @@ def train(args) -> dict:
     sizes = dataset.get_shape()
     logging.info("\t %s", str(sizes))
 
-    with open(os.path.join(save_dir, "config.json"), "w") as f:
-        json.dump(vars(args), f, indent=2)
+    if jax.process_index() == 0:  # single writer under --distributed
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(vars(args), f, indent=2)
 
     model = build_model(args, dataset)
     tcfg = TrainConfig(
@@ -244,6 +245,19 @@ def train(args) -> dict:
                 candidates.append(st)
         if candidates:
             st = max(candidates, key=lambda s: s["epoch"])
+            if mesh is not None:
+                # re-commit the host-loaded state onto the mesh shardings
+                # (the pre-resume params/opt_state carry the target layout;
+                # skipping this silently resumes replicated, dropping the
+                # model-axis row sharding)
+                st["params"] = jax.tree.map(
+                    lambda x, ref: jax.device_put(x, ref.sharding),
+                    st["params"], params,
+                )
+                st["opt_state"] = jax.tree.map(
+                    lambda x, ref: jax.device_put(x, ref.sharding),
+                    st["opt_state"], opt_state,
+                )
             params, opt_state = st["params"], st["opt_state"]
             start_epoch = st["epoch"] + 1
             best_mrr = st["best_mrr"]
@@ -328,15 +342,7 @@ def train(args) -> dict:
         valid_loss = trainer.valid_loss(params, vb, vw, vk, labels=vlab)
         logging.info("\t Epoch %d | average valid loss: %.4f", epoch, valid_loss)
 
-        if stop_signal["flag"]:
-            save_checkpoint(save_dir, params, opt_state, epoch, best_mrr,
-                            filename="latest.pkl",
-                            extra={"counter": counter,
-                                   "best_epoch": best_epoch})
-            logging.info("\t Stopped by signal at epoch %d; latest state "
-                         "saved — resume with --resume", epoch)
-            break
-
+        stopped_early = False
         if epoch % args.valid == 0:
             valid_metrics = avg_both(compute_metrics(
                 model, params, dataset, "valid", args.eval_batch_size,
@@ -353,13 +359,28 @@ def train(args) -> dict:
                 counter += 1
                 if counter == args.patience:
                     logging.info("\t Early stopping")
-                    break
+                    stopped_early = True
             # rolling resume point, written AFTER best-checkpoint updates so
             # a resumed run restores the post-validation best_mrr/counter
             save_checkpoint(save_dir, params, opt_state, epoch, best_mrr,
                             filename="latest.pkl",
                             extra={"counter": counter,
                                    "best_epoch": best_epoch})
+        if stopped_early:
+            break
+
+        # signal stop AFTER the epoch's validation/best-checkpoint work, so
+        # a resumed run's trajectory is identical to a continuous run (an
+        # earlier break here skipped the interrupted epoch's validation —
+        # losing it permanently if it was the best epoch)
+        if stop_signal["flag"]:
+            save_checkpoint(save_dir, params, opt_state, epoch, best_mrr,
+                            filename="latest.pkl",
+                            extra={"counter": counter,
+                                   "best_epoch": best_epoch})
+            logging.info("\t Stopped by signal at epoch %d; latest state "
+                         "saved — resume with --resume", epoch)
+            break
 
     logging.info("\t Optimization finished")
     if best_mrr:

@@ -150,9 +150,11 @@ class KGData:
             return self._label_cache[split]
         sources = {"train": ("train",), "valid": ("train", "valid")}[split]
         n_rel = self.n_predicates // 2
+        # label SOURCES are never debug-truncated: the reference builds
+        # train_filter/valid_filter from the FULL splits in the constructor
+        # (kg_dataset.py:77-85); debug only truncates the query rows (:63-64).
+        # Truncating sources too would strip even the gold tail from rows.
         ex_src = np.concatenate([self.data[s] for s in sources], axis=0)
-        if self.debug:
-            ex_src = ex_src[:1000]
         fwd = ex_src
         bwd = np.stack([ex_src[:, 2], ex_src[:, 1] + n_rel, ex_src[:, 0]], axis=1)
         pairs = np.concatenate([fwd, bwd], axis=0).astype(np.int64)

@@ -25,22 +25,27 @@ import subprocess
 
 import numpy as np
 
-# Search order: env override -> package-local copy (installed wheels,
-# setup.py::BuildWithSampler) -> repo-root native/ (source checkouts,
-# self-built via make).
+# Search order: env override (an explicit-but-missing path is an ERROR, not
+# a silent fallthrough) -> repo-root native/ (source checkouts: `make -C
+# native` rebuilds must win over any stale wheel-built copy `pip install .`
+# left inside the package) -> package-local copy (installed wheels,
+# setup.py::BuildWithSampler).
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_ENV_LIB = os.environ.get("KGSAMPLER_LIB")
+if _ENV_LIB and not os.path.exists(_ENV_LIB):
+    raise FileNotFoundError(f"KGSAMPLER_LIB={_ENV_LIB} does not exist")
 _LIB_CANDIDATES = [
     p
     for p in (
-        os.environ.get("KGSAMPLER_LIB"),
-        os.path.join(_PKG_DIR, "libkgsampler.so"),
+        _ENV_LIB,
         os.path.join(os.path.dirname(os.path.dirname(_PKG_DIR)),
                      "native", "libkgsampler.so"),
+        os.path.join(_PKG_DIR, "libkgsampler.so"),
     )
     if p
 ]
 _LIB_PATH = next((p for p in _LIB_CANDIDATES if os.path.exists(p)),
-                 _LIB_CANDIDATES[-1])
+                 _LIB_CANDIDATES[0])
 
 _I64P = ctypes.POINTER(ctypes.c_int64)
 _U8P = ctypes.POINTER(ctypes.c_uint8)

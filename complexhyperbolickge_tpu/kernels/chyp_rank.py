@@ -223,7 +223,6 @@ class PallasChypRanker:
         # semantics win by default; flip for throughput at scale.
         self.masked = masked
         self._prep = jax.jit(self._prepare_tables)
-        self._qfn = jax.jit(self._queries_and_mask)
         self._one = jax.jit(self._rank_one)
         self._scan = jax.jit(self._rank_scan)
         # padded tables cached per params version, keyed by a STRONG

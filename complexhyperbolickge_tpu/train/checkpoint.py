@@ -26,12 +26,24 @@ FORMAT_VERSION = 1
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    def host(x):
+        # multi-host: a param row-sharded ACROSS hosts is not addressable by
+        # np.asarray; allgather it (collective — every process must call)
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(host, tree)
 
 
 def _schema(params):
+    # metadata only — must NOT materialize device arrays (np.asarray would
+    # copy whole entity tables to host per save/load just to read a dtype)
     return {
-        k: [list(np.shape(v)), str(np.asarray(v).dtype)]
+        k: [list(np.shape(v)), str(np.result_type(v))]
         for k, v in params.items()
     }
 
@@ -44,6 +56,9 @@ def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
     validation cadence and on SIGTERM, so interruption never clobbers the
     best weights."""
     os.makedirs(path, exist_ok=True)
+    # _to_host may allgather (collective): every process builds the state,
+    # but only process 0 touches the filesystem — concurrent writers to the
+    # same save_dir would corrupt the .tmp/rename dance
     state = {
         "format_version": FORMAT_VERSION,
         "params": _to_host(params),
@@ -54,6 +69,8 @@ def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
     }
     if extra:
         state.update(extra)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     tmp = os.path.join(path, filename + ".tmp")
     with open(tmp, "wb") as f:
         pickle.dump(state, f)

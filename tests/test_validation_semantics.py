@@ -69,6 +69,25 @@ def test_label_pack_matches_reference_kgdataset2(data, tmp_path, split):
     np.testing.assert_array_equal(ours_dense, ref_labels.toarray())
 
 
+@pytest.mark.parametrize("split", ["train", "valid"])
+def test_label_pack_debug_mode_keeps_gold_tails(split):
+    """Debug mode truncates QUERY rows only — label sources stay complete
+    (reference builds train/valid filters from the full splits in the
+    constructor, kg_dataset.py:77-85).  Regression: source truncation made
+    valid-split --debug BCE rows lose even their own gold tail."""
+    base = synthetic_kg(n_entities=60, n_relations=4, n_train=2000,
+                        n_valid=50, n_test=50, seed=11)
+    dbg = KGData(splits={s: base.data[s] for s in ("train", "valid", "test")},
+                 filters=base.to_skip, debug=True)
+    rows, lab = dbg.label_pack(split)
+    assert len(rows) <= 1000
+    gold_present = (lab == rows[:, 2:3]).any(axis=1)
+    assert gold_present.all(), (
+        f"{(~gold_present).sum()}/{len(rows)} debug {split} rows lost their "
+        "gold tail from the label lists"
+    )
+
+
 # -------------------- BCE valid loss vs calculate_valid_loss -----------------
 
 
