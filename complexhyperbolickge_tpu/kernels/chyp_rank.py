@@ -30,11 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from complexhyperbolickge_tpu.ops.chyperbolic import swap_neg
-from complexhyperbolickge_tpu.ops.math import ball_eps
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from complexhyperbolickge_tpu.ops.math import ball_eps, round_up
 
 
 def _chyp_scores(lhs2, zn, rhs_t, bt, *, b: int, eps: float):
@@ -238,8 +234,8 @@ class PallasChypRanker:
         n, d = ent.shape
         # n+1 guarantees >= 1 pad row so padded filter ids (== n_entities)
         # land on an unreachable row in the maskless path
-        np_ = _round_up(n + 1, self.tile_n)
-        dp = _round_up(d, 128)
+        np_ = round_up(n + 1, self.tile_n)
+        dp = round_up(d, 128)
         rhs = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(ent)
         bt = params["bt"][:, 0].astype(jnp.float32)
         if self.model.cfg.bias != "learn":

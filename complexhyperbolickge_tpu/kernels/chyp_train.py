@@ -8,10 +8,11 @@ and the backward in one more pass, with only (B, K) residuals in between —
 the hand-written-backward idea of the reference's Distance Function
 (utils/complexhyperbolic.py:191-254) pushed down to a fused TPU kernel.
 
-Semantics are identical to ops.chyperbolic._chyp_distance_core (analytic
-unclamped gradient evaluated at clamped forward values — straight-through
-clamps).  Enabled via ops.chyperbolic.set_fused_train_scorer(True) (the
-Trainer turns it on automatically on TPU); every other path is unchanged.
+Semantics are identical to ops.chyperbolic._chyp_distance_core (the
+reference's analytic backward incl. its near-boundary denominator clamp,
+evaluated at clamped forward values).  Enabled via
+ops.chyperbolic.set_fused_train_scorer(True) (the Trainer turns it on
+automatically on TPU); every other path is unchanged.
 """
 
 from __future__ import annotations
@@ -44,27 +45,34 @@ def _fwd_kernel(lhs_ref, lsw_ref, zn_ref, rhs_ref, d_ref, sr_ref, si_ref,
 
 
 def _bwd_kernel(g_ref, lhs_ref, lsw_ref, zn_ref, rhs_ref, sr_ref, si_ref,
-                wn_ref, x_ref, drhs_ref, ma_ref, mb_ref, czs_ref):
+                wn_ref, x_ref, drhs_ref, ma_ref, mb_ref, czs_ref, *,
+                eps: float):
     g = g_ref[:]
     sr, si, wn, x = sr_ref[:], si_ref[:], wn_ref[:], x_ref[:]
     zn = zn_ref[:]
     lhs, lsw, rhs = lhs_ref[:], lsw_ref[:], rhs_ref[:]
 
     a2 = sr * sr + si * si
-    v = g / jnp.sqrt(x * x - 1.0)
-    inv = 1.0 / (zn * wn)
-    ca = 4.0 * v * sr * inv  # (Bt, K)
-    cb = 4.0 * v * si * inv
-    cw = -4.0 * v * a2 * inv / wn
-    cz = -4.0 * v * a2 * inv / zn
+    sq = jnp.sqrt(x * x - 1.0)
+    # the reference clamps each side's gradient denominator
+    # p = sqrt(x^2-1)*norm_self^2*norm_other to at most -eps
+    # (complexhyperbolic.py:203-204) — mirror ops._chyp_core_bwd
+    p_z = jnp.minimum(sq * zn * zn * wn, -eps)
+    p_w = jnp.minimum(sq * wn * wn * zn, -eps)
+    ca_z = 4.0 * g * sr * zn / p_z  # (Bt, K)
+    cb_z = 4.0 * g * si * zn / p_z
+    cz = -4.0 * g * a2 / p_z
+    ca_w = 4.0 * g * sr * wn / p_w
+    cb_w = 4.0 * g * si * wn / p_w
+    cw = -4.0 * g * a2 / p_w
 
     drhs_ref[:] = (
-        ca[..., None] * lhs[:, None, :]
-        + cb[..., None] * lsw[:, None, :]
+        ca_w[..., None] * lhs[:, None, :]
+        + cb_w[..., None] * lsw[:, None, :]
         + cw[..., None] * rhs
     )
-    ma_ref[:] = jnp.sum(ca[..., None] * rhs, axis=1)  # (Bt, D)
-    mb_ref[:] = jnp.sum(cb[..., None] * rhs, axis=1)
+    ma_ref[:] = jnp.sum(ca_z[..., None] * rhs, axis=1)  # (Bt, D)
+    mb_ref[:] = jnp.sum(cb_z[..., None] * rhs, axis=1)
     czs_ref[:] = jnp.sum(cz, axis=1, keepdims=True)  # (Bt, 1)
 
 
@@ -98,6 +106,7 @@ def _bwd_call(g, lhs, lsw, zn, rhs, sr, si, wn, x, *, bt: int,
     b, d = lhs.shape
     k = rhs.shape[1]
     grid = (b // bt,)
+    eps = float(ball_eps(jnp.float32))
     outs = [
         jax.ShapeDtypeStruct((b, k, d), jnp.float32),
         jax.ShapeDtypeStruct((b, d), jnp.float32),
@@ -106,7 +115,7 @@ def _bwd_call(g, lhs, lsw, zn, rhs, sr, si, wn, x, *, bt: int,
     ]
     bk = lambda i: (i, 0)
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, eps=eps),
         out_shape=outs,
         grid=grid,
         in_specs=[

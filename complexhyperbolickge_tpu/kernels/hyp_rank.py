@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from complexhyperbolickge_tpu.ops.math import MIN_NORM, ball_eps
+from complexhyperbolickge_tpu.ops.math import MIN_NORM, ball_eps, round_up
 
 
 def _tanh15(x):
@@ -224,7 +224,7 @@ class PallasAttRHRanker:
         n, d = ent.shape
         half = d // 2
         np_ = -(-n // self.tile_n) * self.tile_n
-        dp = -(-half // 128) * 128
+        dp = round_up(half, 128)
         rot = jnp.zeros((np_, dp), jnp.float32).at[:n, :half].set(ent[:, :half])
         ref = jnp.zeros((np_, dp), jnp.float32).at[:n, :half].set(ent[:, half:])
         bt = params["bt"][:, 0].astype(jnp.float32)
@@ -355,7 +355,7 @@ class PallasHypRanker:
         ent = params["entity"].astype(jnp.float32)
         n, d = ent.shape
         np_ = -(-n // self.tile_n) * self.tile_n
-        dp = -(-d // 128) * 128
+        dp = round_up(d, 128)
         rhs = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(ent)
         bt = params["bt"][:, 0].astype(jnp.float32)
         if self.model.cfg.bias != "learn":

@@ -33,9 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from complexhyperbolickge_tpu.ops.math import round_up
 
 
 def _segsum_kernel(start_blk_ref, n_blk_ref, dst_ref, msg_ref, out_ref, *,
@@ -66,9 +64,9 @@ def _segsum_kernel(start_blk_ref, n_blk_ref, dst_ref, msg_ref, out_ref, *,
 def _sorted_segment_sum_fwd(msgs, dst, start_blk, n_blk, *, num_segments: int,
                             tn: int, te: int, max_blk: int, interpret: bool):
     e, h = msgs.shape
-    ep = _round_up(e, te)
-    hp = _round_up(h, 128)
-    np_seg = _round_up(num_segments, tn)
+    ep = round_up(e, te)
+    hp = round_up(h, 128)
+    np_seg = round_up(num_segments, tn)
     if (ep, hp) != (e, h):
         m = jnp.zeros((ep, hp), msgs.dtype).at[:e, :h].set(msgs)
     else:
@@ -118,8 +116,8 @@ def make_sorted_segment_sum(dst_sorted: np.ndarray, num_segments: int,
     dst_sorted = np.asarray(dst_sorted, dtype=np.int32)
     assert (np.diff(dst_sorted) >= 0).all(), "dst must be sorted"
     e = dst_sorted.shape[0]
-    ep = _round_up(e, te)
-    np_seg = _round_up(num_segments, tn)
+    ep = round_up(e, te)
+    np_seg = round_up(num_segments, tn)
     n_tiles = np_seg // tn
 
     # per node tile: first and last edge-chunk index overlapping its range

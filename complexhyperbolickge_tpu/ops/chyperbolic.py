@@ -121,7 +121,13 @@ def _chyp_x(sr, si, znorm, wnorm, eps):
 
 
 def _chyp_distance_ad(lhs, rhs):
-    """Autodiff form of the broadcast distance (straight-through clamps)."""
+    """Autodiff form of the broadcast distance (straight-through clamps).
+
+    Only non-train broadcast shapes reach this (train (B,1,D)x(B,K,D) goes
+    through _chyp_distance_core; all-pairs through chyp_distance_all — both
+    carry the reference backward's denominator clamp, which plain autodiff
+    here does not).  Gradients through this path match the reference only
+    away from the unit-ball boundary."""
     eps = ball_eps(lhs.dtype)
     zr, zi = split_re_im(lhs)
     wr, wi = split_re_im(rhs)
@@ -154,28 +160,37 @@ def _chyp_core_fwd(lhs, rhs):
 def _chyp_core_bwd(res, g):
     """Analytic backward — the reference Distance.backward
     (utils/complexhyperbolic.py:239-254) re-derived for the packed-real
-    layout: the unclamped gradient evaluated at the clamped forward values
-    (straight-through semantics).  Saves only (B, K) residuals, so the
+    layout, INCLUDING its denominator clamp: the reference divides each
+    side's gradient by p = clamp(sqrt(x^2-1) * norm_self^2 * norm_other,
+    max=-eps) (complexhyperbolic.py:203-204), which caps gradient magnitude
+    near the unit-ball boundary.  Saves only (B, K) residuals, so the
     backward touches each (B, K, D) tensor once instead of autodiff's many
     rematerialized intermediates."""
     lhs, rhs, sr, si, zn, wn, x = res
+    eps = ball_eps(lhs.dtype)
     a2 = sr * sr + si * si
-    v = g / jnp.sqrt(x * x - 1.0)  # d acosh
-    inv_znwn = 1.0 / (zn * wn)
-    ca = v * 4.0 * sr * inv_znwn  # (B, K) coeff on the Re cross term
-    cb = v * 4.0 * si * inv_znwn  # coeff on the Im cross term
-    cw = v * (-4.0) * a2 * inv_znwn / wn  # coeff on rhs via wnorm (incl. d|w|^2)
-    cz = v * (-4.0) * a2 * inv_znwn / zn  # coeff on lhs via znorm
+    sq = jnp.sqrt(x * x - 1.0)
+    # zn/wn are negative, so sq*norm^2*norm_other is negative; clamping it
+    # to at most -eps bounds |1/p| by 1/eps (reference Distance.grad)
+    p_z = jnp.minimum(sq * zn * zn * wn, -eps)
+    p_w = jnp.minimum(sq * wn * wn * zn, -eps)
+
+    ca_z = g * 4.0 * sr * zn / p_z  # (B, K) coeff on the Re cross term (lhs)
+    cb_z = g * 4.0 * si * zn / p_z
+    cz = g * (-4.0) * a2 / p_z  # coeff on lhs via znorm
+    ca_w = g * 4.0 * sr * wn / p_w  # coefficients for the rhs side
+    cb_w = g * 4.0 * si * wn / p_w
+    cw = g * (-4.0) * a2 / p_w  # coeff on rhs via wnorm (incl. d|w|^2)
 
     lhs_sw = swap_neg(lhs)  # (B, D)
     d_rhs = (
-        ca[..., None] * lhs[:, None, :]
-        + cb[..., None] * lhs_sw[:, None, :]
+        ca_w[..., None] * lhs[:, None, :]
+        + cb_w[..., None] * lhs_sw[:, None, :]
         + cw[..., None] * rhs
     )
     # d si / d lhs = -swap(rhs); swap is linear so sum first, swap once
-    m_a = jnp.einsum("bk,bkd->bd", ca, rhs)
-    m_b = jnp.einsum("bk,bkd->bd", cb, rhs)
+    m_a = jnp.einsum("bk,bkd->bd", ca_z, rhs)
+    m_b = jnp.einsum("bk,bkd->bd", cb_z, rhs)
     d_lhs = m_a - swap_neg(m_b) + jnp.sum(cz, axis=1, keepdims=True) * lhs
     return d_lhs, d_rhs
 
@@ -218,6 +233,7 @@ def chyp_distance(lhs, rhs):
     return _chyp_distance_ad(lhs, rhs)
 
 
+@jax.custom_vjp
 def chyp_distance_all(lhs, rhs):
     """All-pairs complex-hyperbolic distance: lhs (B, 2R) vs rhs (N, 2R) -> (B, N).
 
@@ -226,6 +242,11 @@ def chyp_distance_all(lhs, rhs):
         Im<z,w>     = swap_neg(lhs) @ rhs^T (since Im(z conj w) = zi.wr - zr.wi)
     Both land on the MXU; the epilogue is fused elementwise work.  This is the
     TPU-native form of the reference's (B,1,d)x(1,N,d) broadcast eval.
+
+    Differentiable (pool/shared-negative training routes all-pairs scores
+    through here): the custom VJP is the reference Distance.backward in
+    matmul form, including its near-boundary denominator clamp
+    (complexhyperbolic.py:203-204) — matching _chyp_distance_core.
     """
     eps = ball_eps(lhs.dtype)
     sr = jnp.matmul(lhs, rhs.T, preferred_element_type=lhs.dtype, precision="highest") - 1.0
@@ -234,6 +255,51 @@ def chyp_distance_all(lhs, rhs):
     wnorm = hermitian_sqnorm_lifted(rhs)[None, :]  # (1, N)
     x = _chyp_x(sr, si, znorm, wnorm, eps)
     return jnp.arccosh(x)
+
+
+def _chyp_all_fwd(lhs, rhs):
+    eps = ball_eps(lhs.dtype)
+    sr = jnp.matmul(lhs, rhs.T, preferred_element_type=lhs.dtype, precision="highest") - 1.0
+    si = jnp.matmul(swap_neg(lhs), rhs.T, preferred_element_type=lhs.dtype, precision="highest")
+    zn = jnp.clip(hermitian_sqnorm_lifted(lhs), -1.0, -eps)[:, None]  # (B, 1)
+    wn = jnp.clip(hermitian_sqnorm_lifted(rhs), -1.0, -eps)[None, :]  # (1, N)
+    x = jnp.maximum(2 * (sr * sr + si * si) / (zn * wn) - 1.0, 1 + eps)
+    return jnp.arccosh(x), (lhs, rhs, sr, si, zn, wn, x)
+
+
+def _chyp_all_bwd(res, g):
+    """Reference Distance.backward in all-pairs matmul form (clamped p as in
+    _chyp_core_bwd); rhs rows are shared across queries, so its per-pair
+    contributions sum over the batch axis via the transposed matmuls."""
+    lhs, rhs, sr, si, zn, wn, x = res
+    eps = ball_eps(lhs.dtype)
+    a2 = sr * sr + si * si
+    sq = jnp.sqrt(x * x - 1.0)
+    p_z = jnp.minimum(sq * zn * zn * wn, -eps)  # (B, N)
+    p_w = jnp.minimum(sq * wn * wn * zn, -eps)
+
+    ca_z = g * 4.0 * sr * zn / p_z
+    cb_z = g * 4.0 * si * zn / p_z
+    cz = g * (-4.0) * a2 / p_z
+    ca_w = g * 4.0 * sr * wn / p_w
+    cb_w = g * 4.0 * si * wn / p_w
+    cw = g * (-4.0) * a2 / p_w
+
+    lhs_sw = swap_neg(lhs)
+    d_lhs = (
+        jnp.matmul(ca_z, rhs)
+        - swap_neg(jnp.matmul(cb_z, rhs))
+        + jnp.sum(cz, axis=1, keepdims=True) * lhs
+    )
+    d_rhs = (
+        jnp.matmul(ca_w.T, lhs)
+        + jnp.matmul(cb_w.T, lhs_sw)
+        + jnp.sum(cw, axis=0)[:, None] * rhs
+    )
+    return d_lhs, d_rhs
+
+
+chyp_distance_all.defvjp(_chyp_all_fwd, _chyp_all_bwd)
 
 
 # ----------------------------- explicit lift ---------------------------------

@@ -92,7 +92,14 @@ def _hyp_dist_multi_c_from_parts(x2, xv, vnorm, c):
     gamma = tanh(sqrt_c * vnorm) / sqrt_c
     c1 = 1 - 2 * c * gamma * xv + c * gamma**2
     c2 = 1 - c * x2
-    num = jnp.sqrt((c1**2) * x2 + (c2**2) * (gamma**2) - (2 * c1 * c2) * gamma * xv)
+    # the expanded quadratic is >= 0 exactly but can round negative in f32
+    # when the pairwise distance falls below rounding noise (the Pallas
+    # mirror of this expression guards the same way, kernels/hyp_rank.py);
+    # the MIN_NORM floor also keeps the sqrt VJP finite at 0
+    num = jnp.sqrt(jnp.maximum(
+        (c1**2) * x2 + (c2**2) * (gamma**2) - (2 * c1 * c2) * gamma * xv,
+        MIN_NORM,
+    ))
     denom = 1 - 2 * c * gamma * xv + (c**2) * (gamma**2) * x2
     pairwise_norm = num / jnp.maximum(denom, MIN_NORM)
     return 2 * artanh(sqrt_c * pairwise_norm) / sqrt_c
@@ -105,7 +112,7 @@ def hyp_distance_multi_c(x, v, c):
     the distance to expmap0(v) analytically (utils/hyperbolic.py:194-216).
     Shapes broadcast like the reference: x (..., d) vs v (..., d).
     """
-    vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    vnorm = safe_norm(v)  # NaN-grad-free at v == 0 (CLAUDE.md norm rule)
     xv = jnp.sum(x * v / vnorm, axis=-1, keepdims=True)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     return _hyp_dist_multi_c_from_parts(x2, xv, vnorm, c)
@@ -117,7 +124,7 @@ def hyp_distance_multi_c_all(x, v, c):
     The only cross term is <x, v/||v||>, computed as one (B,d)x(d,N) matmul on
     the MXU; everything else is rank-1 broadcast arithmetic fused by XLA.
     """
-    vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)  # (N, 1)
+    vnorm = safe_norm(v)  # (N, 1); NaN-grad-free at v == 0
     vdir = v / vnorm
     xv = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype, precision="highest")  # (B, N)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (B, 1)
@@ -145,7 +152,10 @@ def logmap0_lorentz(y, c):
     sqrt_c = c**0.5
     y_norm = safe_norm(y)
     beta = sqrt_c * jnp.sqrt(y_norm**2 + 1 / c)
-    return (arcosh(beta) / jnp.sqrt(beta**2 - 1)) * y
+    # beta^2 - 1 == c * y_norm^2 EXACTLY; computing it as written cancels
+    # catastrophically in f32 (beta rounds to 1.0 for sqrt_c*y_norm <~ 3e-4,
+    # giving arcosh/0 = inf on small rows).  Use the exact identity.
+    return (arcosh(beta) / (sqrt_c * y_norm)) * y
 
 
 def lorentz_boost(y, v, c):
@@ -159,7 +169,12 @@ def lorentz_boost(y, v, c):
     norm_v = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-24))
     v = tanh(norm_v) * v / norm_v
     y0 = jnp.sqrt(jnp.sum(y**2, axis=-1, keepdims=True) + 1 / c)
-    g = jnp.sum(v**2, axis=-1, keepdims=True)
+    # f32 hazard: tanh saturates to exactly 1.0 for norm_v >~ 10 and the
+    # normalize-square chain can round g to >= 1 (measured 1.0000004), making
+    # 1/sqrt(1-g) NaN before the reference's gamma<=15 clamp can act (the
+    # reference is only safe because it runs f64).  gamma=15 <=> g ~ 0.9956,
+    # so clamping g below 1 changes nothing the gamma clamp wouldn't.
+    g = jnp.minimum(jnp.sum(v**2, axis=-1, keepdims=True), 1.0 - 1e-7)
     gamma = jnp.minimum(1 / jnp.sqrt(1 - g), 15.0)
     factor = gamma**2 / (1 + gamma)
     vy = jnp.sum(v * y, axis=-1, keepdims=True)

@@ -21,6 +21,11 @@ import jax.numpy as jnp
 
 MIN_NORM = 1e-15
 
+
+def round_up(x: int, m: int) -> int:
+    """Smallest multiple of m >= x (kernel tile/lane padding helper)."""
+    return -(-x // m) * m
+
 _BALL_EPS = {
     jnp.dtype(jnp.bfloat16): 4e-2,
     jnp.dtype(jnp.float32): 4e-3,

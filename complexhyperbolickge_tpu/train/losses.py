@@ -14,8 +14,11 @@ Python loop re-slices ragged final batches instead; SURVEY §7 hard-part 4).
 double_neg note: the reference's flag is dead code (head corruption is
 commented out, kg_optimizer.py:78-91).  Here it is implemented for real via
 the inverse-relation formulation the training data already uses: corrupting
-the head of (h, r, t) is scored as query (t, r + n_rel/2) against sampled
-head candidates — same cost as tail corruption, exact same model semantics.
+the head of (h, r, t) is scored as query (t, (r + n_rel/2) % n_rel) against
+sampled head candidates — same cost as tail corruption, exact same model
+semantics.  The modulo matters: train batches already contain inverse
+triples (rel >= n_rel/2, data/dataset.py:79), whose inverse is the original
+forward relation, not an out-of-range id.
 """
 
 from __future__ import annotations
@@ -66,7 +69,9 @@ def neg_sampling_loss(model, params, batch, weights, key, n_entities: int,
 
     if double_neg:
         # head corruption via the inverse relation (see module docstring)
-        inv_q = jnp.stack([batch[:, 2], batch[:, 1] + n_rel // 2], axis=1)
+        inv_q = jnp.stack(
+            [batch[:, 2], (batch[:, 1] + n_rel // 2) % n_rel], axis=1
+        )
         inv_batch = jnp.stack(
             [batch[:, 2], batch[:, 1], batch[:, 0]], axis=1
         )
@@ -114,7 +119,9 @@ def neg_sampling_loss_shared(model, params, batch, weights, key,
     n_t, d_t = shared_negs(keys[0], lhs, lhs_b, tails)
     num, den = num + n_t, den + d_t
     if double_neg:
-        inv_q = jnp.stack([batch[:, 2], batch[:, 1] + n_rel // 2], axis=1)
+        inv_q = jnp.stack(
+            [batch[:, 2], (batch[:, 1] + n_rel // 2) % n_rel], axis=1
+        )
         inv_lhs, inv_b = model.get_queries(params, inv_q)
         n_h, d_h = shared_negs(keys[1], inv_lhs, inv_b, batch[:, 0:1])
         num, den = num + n_h, den + d_h
@@ -175,7 +182,9 @@ def neg_sampling_loss_pooled(model, params, batch, weights, key,
     n_t, d_t = pooled_negs(keys[1], lhs, lhs_b, tails)
     num, den = num + n_t, den + d_t
     if double_neg:
-        inv_q = jnp.stack([batch[:, 2], batch[:, 1] + n_rel // 2], axis=1)
+        inv_q = jnp.stack(
+            [batch[:, 2], (batch[:, 1] + n_rel // 2) % n_rel], axis=1
+        )
         inv_lhs, inv_b = model.get_queries(params, inv_q)
         n_h, d_h = pooled_negs(keys[2], inv_lhs, inv_b, batch[:, 0:1])
         num, den = num + n_h, den + d_h

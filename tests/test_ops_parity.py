@@ -291,6 +291,82 @@ def test_chyp_core_vjp_vs_reference_backward(rng):
     allclose(gw, tw.grad, atol=1e-9)
 
 
+def _boundary_pair(rng, n, rank):
+    """Near-boundary pairs (||z||~0.997, w a tiny perturbation of z): the
+    regime where the reference Distance.grad's denominator clamp
+    p = clamp(sqrt(x^2-1)*norm^2*norm, max=-eps) is ACTIVE."""
+    z = _packed_ball_points(rng, n, rank)
+    z = z / np.linalg.norm(z, axis=-1, keepdims=True) * 0.997
+    w = z + rng.normal(size=z.shape) * 1e-5
+    w = w / np.maximum(np.linalg.norm(w, axis=-1, keepdims=True) / 0.9985, 1.0)
+    return z, w
+
+
+def test_chyp_core_vjp_clamped_regime_matches_reference(rng):
+    """Near the unit-ball boundary the reference backward clamps its
+    denominator (complexhyperbolic.py:203-204), capping gradient magnitude;
+    our analytic VJP must reproduce the CLAMPED gradients, not the raw ones."""
+    rank, K = 9, 5
+    z, _ = _boundary_pair(rng, B, rank)
+    # candidates = tiny perturbations OF z itself, so pair distances stay
+    # small while both norms hug the boundary (that's what drives |p| under
+    # eps)
+    w = np.stack([z + rng.normal(size=z.shape) * 1e-5 for _ in range(K)],
+                 axis=1)
+    w = w / np.maximum(
+        np.linalg.norm(w, axis=-1, keepdims=True) / 0.9985, 1.0
+    )
+    tz = t(z)[:, None, :].requires_grad_(True)
+    tw = t(w).requires_grad_(True)
+    ref_chyp.Distance.apply(tz, tw, 1, True).sum().backward()
+    import jax
+
+    gz, gw = jax.grad(
+        lambda a, b: CH._chyp_distance_core(a, b).sum(), argnums=(0, 1)
+    )(jnp.asarray(z), jnp.asarray(w))
+    # confirm the clamp regime is actually reached (tiny distances at
+    # near-boundary norms give |p| ~ d*1e-7 << eps=1e-5), else the test
+    # degenerates to the unclamped case
+    with torch.no_grad():
+        d_ref = ref_chyp.Distance.apply(t(z)[:, None, :], tw.detach(), 1, True)
+        assert float(d_ref.min()) < 0.05
+    allclose(gz, tz.grad.squeeze(1), atol=1e-9)
+    allclose(gw, tw.grad, atol=1e-9)
+
+
+def test_chyp_all_vjp_matches_reference_backward(rng):
+    """chyp_distance_all (the pool/shared-negative training path) must carry
+    the reference backward incl. its clamp; checked in both the generic and
+    the near-boundary regimes against the executed reference."""
+    import jax
+
+    rank, N = 9, 13
+    for gen in ("generic", "boundary"):
+        if gen == "generic":
+            z = _packed_ball_points(rng, B, rank)
+            w = _packed_ball_points(rng, N, rank)
+        else:
+            z, _ = _boundary_pair(rng, B, rank)
+            # candidate rows: perturbations of z rows (small distances at
+            # boundary norms -> clamp active) plus a few generic rows
+            pert = z[: N - 3 if N - 3 <= B else B]
+            pert = np.tile(pert, (-(-(N - 3) // B), 1))[: N - 3]
+            pert = pert + rng.normal(size=pert.shape) * 1e-5
+            pert = pert / np.maximum(
+                np.linalg.norm(pert, axis=-1, keepdims=True) / 0.9985, 1.0
+            )
+            w = np.concatenate([pert, _packed_ball_points(rng, 3, rank)],
+                               axis=0)
+        tz = t(z).unsqueeze(1).requires_grad_(True)
+        tw = t(w).unsqueeze(0).requires_grad_(True)
+        ref_chyp.Distance.apply(tz, tw, 1, True).sum().backward()
+        gz, gw = jax.grad(
+            lambda a, b: CH.chyp_distance_all(a, b).sum(), argnums=(0, 1)
+        )(jnp.asarray(z), jnp.asarray(w))
+        allclose(gz, tz.grad.squeeze(1), atol=1e-9)
+        allclose(gw, tw.grad.squeeze(0), atol=1e-9)
+
+
 def test_chyp_distance_all_matches_broadcast(rng):
     rank = 9
     z = _packed_ball_points(rng, B, rank)

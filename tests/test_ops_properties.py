@@ -150,3 +150,62 @@ def test_chyp_distance_invariant_under_unitary(draw):
     d0 = CH.chyp_distance(jnp.asarray(nz), jnp.asarray(nw))
     d1 = CH.chyp_distance(uz, uw)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-8)
+
+
+# ------------------------- f32 robustness (TPU regime) ------------------------
+
+
+def test_lorentz_boost_finite_at_saturated_velocity_f32():
+    """f32 hazard: tanh saturates to exactly 1.0 for ||v|| >= ~10 and the
+    normalize-square chain can round sum(v^2) to >= 1, so 1/sqrt(1-g) NaNs
+    without a clamp (the reference is only safe in f64)."""
+    y = jnp.asarray(np.full((4, 8), 0.1), dtype=jnp.float32)
+    v = jnp.asarray(np.full((4, 8), 5.0), dtype=jnp.float32)  # ||v|| ~ 14
+    c = jnp.asarray(np.ones((4, 1)), dtype=jnp.float32)
+    out = H.lorentz_boost(y, v, c)
+    assert np.isfinite(np.asarray(out)).all()
+    g = jax.grad(lambda vv: jnp.sum(H.lorentz_boost(y, vv, c)))(v)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_logmap0_lorentz_finite_on_tiny_rows_f32():
+    """beta = sqrt_c*sqrt(||y||^2 + 1/c) rounds to exactly 1.0 in f32 for
+    ||y|| <~ 3e-4; sqrt(beta^2-1) then divides by zero unless the exact
+    identity sqrt(beta^2-1) == sqrt_c*||y|| is used."""
+    y = jnp.asarray(np.full((4, 8), 1e-4 / np.sqrt(8)), dtype=jnp.float32)
+    c = jnp.asarray(np.ones((4, 1)), dtype=jnp.float32)
+    out = H.logmap0_lorentz(y, c)
+    assert np.isfinite(np.asarray(out)).all()
+    # expected value per the REFERENCE semantics computed stably in f64:
+    # arcosh(clamp(beta, min=1+1e-6)) / sqrt(beta^2-1) * y, with
+    # sqrt(beta^2-1) == sqrt_c*||y|| exactly (the arcosh clamp floor makes
+    # this ~14x ||y|| here — in f32 the naive form is inf, not this)
+    y64 = np.asarray(y, dtype=np.float64)
+    y_norm = np.linalg.norm(y64, axis=-1, keepdims=True)
+    beta = np.sqrt(y_norm**2 + 1.0)
+    expect = np.arccosh(np.maximum(beta, 1 + 1e-6)) / y_norm * y64
+    # f32 arcosh near 1 itself carries %-level cancellation error (x^2-1);
+    # the test pins magnitude + finiteness, not sub-% accuracy
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=5e-2)
+    g = jax.grad(lambda yy: jnp.sum(H.logmap0_lorentz(yy, c)))(y)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_hyp_distance_multi_c_finite_at_coincident_points_f32():
+    """The expanded sqrt argument can round negative in f32 when the
+    pairwise distance is below rounding noise; forward and grad must stay
+    finite (the Pallas eval kernel already guards the same expression)."""
+    x = jnp.asarray(np.full((4, 8), 0.1), dtype=jnp.float32)
+    v = jnp.asarray(np.full((4, 8), 0.1003353), dtype=jnp.float32)
+    c = jnp.asarray(np.ones((4, 1)), dtype=jnp.float32)
+    # v chosen so expmap0(v) ~ x: distance ~ 0
+    d = H.hyp_distance_multi_c(x, v, c)
+    assert np.isfinite(np.asarray(d)).all()
+    g = jax.grad(lambda xx: jnp.sum(H.hyp_distance_multi_c(xx, v, c)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # zero candidate vector: safe_norm keeps forward/grad finite
+    v0 = jnp.zeros_like(v)
+    d0 = H.hyp_distance_multi_c(x, v0, c)
+    g0 = jax.grad(lambda xx: jnp.sum(H.hyp_distance_multi_c(xx, v0, c)))(x)
+    assert np.isfinite(np.asarray(d0)).all()
+    assert np.isfinite(np.asarray(g0)).all()

@@ -296,3 +296,41 @@ def test_pooled_loss_matches_per_query_with_full_pool():
         keep * jax.nn.log_sigmoid(-neg_s))
     den = b + jnp.sum(keep)
     np.testing.assert_allclose(float(loss), float(-num / den), rtol=1e-9)
+
+
+@pytest.mark.parametrize("mode", ["per_query", "shared", "pool"])
+def test_double_neg_inverse_relation_wraps(mode):
+    """Regression: double_neg's head-corruption query must use
+    (r + n_rel/2) % n_rel.  Train batches contain inverse triples
+    (rel >= n_rel/2, data/dataset.py:79); without the modulo their ids
+    indexed past the relation tables and silently clamped onto the LAST
+    relation row.  Poisoning that row with NaN makes the old behavior loud."""
+    n_ent, n_raw = 20, 2
+    n_rel = 2 * n_raw
+    cfg = MC(n_entities=n_ent, n_relations=n_rel, rank=5, multi_c=True,
+             dtype="float32")
+    model = get_model("FFTRotH")(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    # poison the LAST relation row — the clamp target of the old OOB ids
+    for k in ("rel", "rel_diag", "c"):
+        params[k] = params[k].at[-1].set(jnp.nan)
+    rng = np.random.default_rng(0)
+    b = 16
+    batch = jnp.asarray(np.stack([
+        rng.integers(0, n_ent, b),
+        np.full(b, n_raw, dtype=np.int64),  # an INVERSE relation id (2)
+        rng.integers(0, n_ent, b),
+    ], axis=1).astype(np.int32))
+    w = jnp.ones((b,), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    fn = {
+        "per_query": lambda: L.neg_sampling_loss(
+            model, params, batch, w, key, n_ent, 4, True, n_rel),
+        "shared": lambda: L.neg_sampling_loss_shared(
+            model, params, batch, w, key, n_ent, 4, True, n_rel),
+        "pool": lambda: L.neg_sampling_loss_pooled(
+            model, params, batch, w, key, n_ent, 4, True, n_rel, 8),
+    }[mode]
+    loss, _ = fn()
+    # correct inverse of rel 2 is rel 0 — the NaN row is never touched
+    assert np.isfinite(float(loss))
