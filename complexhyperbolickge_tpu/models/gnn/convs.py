@@ -397,14 +397,23 @@ class LorentzConv(PoincareConv):
 
     def _propagate(self, p, x, edges, rel, curv, edge_w):
         """Lorentz method-1 (lorentzgnn.py:117-143).  NB the reference swaps
-        in/out edge types in the messages (lorentzgnn.py:96-101) — kept."""
+        in/out edge types in the messages (lorentzgnn.py:96-101) — kept,
+        expressed PER EDGE (forward edge of raw type t messages with type
+        t + n_rel/2 and vice versa).  The halves are each sorted by their
+        own receiving-node permutation (GNNModel.encode), so indexing the
+        OTHER half's etype slice — which was equivalent when the halves
+        were edge-aligned — would pair almost every message with an
+        arbitrary other edge's relation transform."""
         head, tail, etype = edges
         n_ent, e = x.shape[0], head.shape[0]
         half = e // 2
+        half_rel = rel.shape[0] // 2
         lc = jax.nn.softplus(p["loop_curvature"])
 
-        msg_in = self._message(p, x[tail[:half]], etype[half:], rel, curv, "in")
-        msg_out = self._message(p, x[tail[half:]], etype[:half], rel, curv, "out")
+        msg_in = self._message(p, x[tail[:half]], etype[:half] + half_rel,
+                               rel, curv, "in")
+        msg_out = self._message(p, x[tail[half:]], etype[half:] - half_rel,
+                                rel, curv, "out")
         msg_loop = self._message(p, x, None, None, None, "loop")
 
         msgs = jnp.concatenate([msg_in, msg_out], axis=0)

@@ -1,10 +1,11 @@
 """Row-sparse (lazy) Adam — torch.optim.SparseAdam semantics.
 
 The reference exposes SparseAdam as an optimizer choice (run.py:48).  Torch's
-SparseAdam only updates rows that received gradient this step: untouched rows
-keep their moments un-decayed and use a PER-ROW step count for bias
-correction.  Dense Adam is NOT equivalent (it decays every row's momentum
-every step, which keeps stale momentum pushing rows that weren't sampled).
+SparseAdam only updates rows that received gradient this step: untouched
+rows keep their moments un-decayed and receive no parameter update (bias
+correction still uses the single GLOBAL step count — see below).  Dense Adam
+is NOT equivalent (it decays every row's momentum every step, which keeps
+stale momentum pushing rows that weren't sampled).
 
 TPU-native formulation: gradients here are dense arrays whose untouched rows
 are exactly zero (scatter-add of embedding gathers), so "touched" is

@@ -61,7 +61,14 @@ class SubgraphTrainer:
         self.sampler = NeighborSampler(dataset, fanouts=fanouts,
                                        max_nodes=max_nodes, max_edges=max_edges)
         self.max_nodes = max_nodes
-        self.tx = make_optimizer(cfg.optimizer, cfg.learning_rate)
+        from complexhyperbolickge_tpu.train.regularizers import get_regularizer
+        from complexhyperbolickge_tpu.train.trainer import _f32_state_for_bf16
+
+        # same bf16-safe optimizer-state wrapper as the full-graph Trainer
+        self.tx = _f32_state_for_bf16(
+            make_optimizer(cfg.optimizer, cfg.learning_rate)
+        )
+        self.reg_fn = get_regularizer(cfg.regularizer)
         self._step = self._build_step()
 
     def init(self, key):
@@ -106,12 +113,13 @@ class SubgraphTrainer:
             per = -(y * log_p + (1 - y) * log_1mp) * node_w[None, :]
             loss = jnp.sum(per * qw[:, None]) / (jnp.sum(qw) * n_nodes)
 
+        if not cfg.reg:
+            # reg weight 0 (every published config): skip the regularizer
+            # graph entirely (same rationale as Trainer._loss — XLA cannot
+            # fold x*0.0 away under NaN semantics)
+            return loss
         factors = self.model.get_factors(params)
-        from complexhyperbolickge_tpu.train.regularizers import get_regularizer
-
-        loss = loss + get_regularizer(cfg.regularizer)(
-            factors, cfg.reg, factors[0].shape[0]
-        )
+        loss = loss + self.reg_fn(factors, cfg.reg, factors[0].shape[0])
         return loss
 
     def _build_step(self):

@@ -122,15 +122,13 @@ class Trainer:
             make_optimizer(cfg.optimizer, cfg.learning_rate)
         )
         self.reg_fn = get_regularizer(cfg.regularizer)
-        self._with_labels = (
-            cfg.neg_sample_size <= 0
-            and cfg.loss == "binarycrossentropy"
-        )
         if cfg.neg_mode in ("shared", "pool") and getattr(model, "is_gnn", False):
             raise ValueError(
                 f"neg_mode={cfg.neg_mode!r} is not supported for GNN models"
             )
-        if cfg.fused_scorer and jax.devices()[0].platform == "tpu":
+        # != "cpu" (not == "tpu"): the tunneled-TPU backend reports its own
+        # platform name — same detection as evaluate.make_best_ranker
+        if cfg.fused_scorer and jax.devices()[0].platform != "cpu":
             from complexhyperbolickge_tpu.ops.chyperbolic import (
                 set_fused_train_scorer,
             )
@@ -220,7 +218,11 @@ class Trainer:
         def epoch_fn(params, opt_state, batches, weights, labels, key):
             nb = batches.shape[0]
             keys = jax.random.split(key, nb)
-            zero_grads = jax.tree.map(jnp.zeros_like, params)
+            # the accumulator is only carried when actually accumulating —
+            # at k_acc == 1 it would be a dead params-sized HBM buffer
+            zero_grads = (
+                jax.tree.map(jnp.zeros_like, params) if k_acc > 1 else None
+            )
 
             def body(carry, xs):
                 params, opt_state, acc = carry

@@ -154,3 +154,26 @@ def test_edge_dropout_changes_encoding(data):
     # eval-mode encode is deterministic
     x3, _ = model.encode(params)
     np.testing.assert_array_equal(np.asarray(x0), np.asarray(x3))
+
+
+def test_lorentz_full_graph_types_are_per_edge(data):
+    """Regression: LorentzConv's in/out type swap must be applied PER EDGE
+    (raw type t <-> t + n_rel/2).  The old code indexed the OTHER half's
+    etype slice, which silently paired messages with arbitrary other edges'
+    relation transforms once the halves got per-half sort orders — making
+    the encoding depend on tie-breaking among equal receiving nodes.  The
+    encoder must be invariant to the within-group edge order."""
+    model, params = _build(data, "LorentzGCN")
+    x0, _ = model.encode(params)
+
+    eh = np.asarray(model.edge_head)
+    et_ = np.asarray(model.edge_tail)
+    rng = np.random.default_rng(0)
+    sec = rng.permutation(len(eh))
+    # still sorted by receiving node (the sorted-scatter fast path's
+    # contract) but with a different order among equal nodes
+    model._perm_fwd = jnp.asarray(np.lexsort((sec, eh)))
+    model._perm_inv = jnp.asarray(np.lexsort((sec, et_)))
+    x1, _ = model.encode(params)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
+                               atol=1e-5, rtol=1e-4)
