@@ -144,3 +144,38 @@ def test_epoch_yields_padded_tail_batch():
     tail = batches[-1]
     assert tail.queries.shape[0] == bs  # padded to full batch size
     assert tail.query_weight.sum() == s.n_train_edges % bs
+
+
+def test_subgraph_training_bf16_smoke(data):
+    """SubgraphTrainer wraps its optimizer with the same bf16-safe f32-state
+    wrapper as the full-graph Trainer; bf16 GNN params must train with
+    finite loss and f32 optimizer moments."""
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, dtype="bfloat16")
+
+    class A:
+        hidden_dim = 8
+        layers = 2
+        edge_dropout = 0.0
+        dropout = 0.0
+        opn = "mult"
+        interaction = "distmult"
+        basis = 0
+
+    model = get_model("CompGCN")(cfg, A(), data)
+    tcfg = TrainConfig(learning_rate=0.01, batch_size=32, neg_sample_size=0,
+                       loss="crossentropy", optimizer="Adam")
+    trainer = SubgraphTrainer(model, tcfg, data, fanouts=(4, 4),
+                              max_nodes=MAX_NODES, max_edges=MAX_EDGES)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    # Adam moments must NOT be bf16 even though params are (the wrapper
+    # upcasts; under the suite's x64 mode non-bf16 leaves may be f64)
+    import jax.numpy as jnp
+    moments = [x for x in jax.tree.leaves(opt_state)
+               if hasattr(x, "dtype") and x.ndim >= 2]
+    assert moments and all(m.dtype != jnp.bfloat16 for m in moments)
+    rng = np.random.default_rng(0)
+    params, opt_state, loss_v = trainer.run_epoch(
+        params, opt_state, 32, rng, jax.random.PRNGKey(1), epoch_id=0)
+    assert np.isfinite(loss_v)
