@@ -59,7 +59,8 @@ def main():
     assert rel.max() < 1e-3
 
     def bench(fn, n=20):
-        fn(params, jq, jf)  # warm
+        np.asarray(fn(params, jq, jf))  # warm + fence (async dispatch would
+        # otherwise bleed the warmup's device time into the timed window)
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(params, jq, jf)

@@ -20,7 +20,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from complexhyperbolickge_tpu.cli.run import build_model, load_dataset, setup_logging
+from complexhyperbolickge_tpu.cli.run import (
+    apply_dtype_policy,
+    build_model,
+    load_dataset,
+    setup_logging,
+)
 from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint, load_config
 from complexhyperbolickge_tpu.train.evaluate import make_predictor
 
@@ -29,8 +34,7 @@ def predict(model_dir: str, queries, k: int = 10, filter_known: bool = False):
     setup_logging(model_dir)
     cfg = load_config(model_dir)["args"]
     args = argparse.Namespace(**cfg)
-    if args.dtype in ("double", "float64"):
-        jax.config.update("jax_enable_x64", True)
+    apply_dtype_policy(args)  # f64 on CPU; coerced to f32 on TPU
     dataset = load_dataset(args)
     model = build_model(args, dataset)
     expected = model.init(jax.random.PRNGKey(0))

@@ -127,13 +127,40 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def setup_logging(save_dir: str):
+    """stdout + <save_dir>/train.log (the reference writes a log file too,
+    run.py:141-155 — minus its duplicated-handler double logging)."""
+    handlers = [logging.StreamHandler(sys.stdout)]
+    try:
+        os.makedirs(save_dir, exist_ok=True)
+        handlers.append(
+            logging.FileHandler(os.path.join(save_dir, "train.log"))
+        )
+    except OSError:
+        pass  # unwritable dir: stdout-only
     logging.basicConfig(
         format="%(asctime)s %(levelname)-8s %(message)s",
         level=logging.INFO,
         datefmt="%Y-%m-%d %H:%M:%S",
-        stream=sys.stdout,
+        handlers=handlers,
         force=True,
     )
+
+
+def apply_dtype_policy(args):
+    """f64 on CPU enables x64; on TPU it coerces to float32 with a warning
+    (TPU has no native f64 — the FFT HLO won't even compile).  Shared by the
+    train/eval/serving CLIs so a CPU-trained double config evaluates on TPU
+    instead of failing to compile."""
+    if args.dtype in ("double", "float64"):
+        if jax.devices()[0].platform != "cpu":
+            logging.warning(
+                "dtype=double requested on a non-CPU backend; using float32 "
+                "(TPU has no native f64). Pass --dtype float32 to silence."
+            )
+            args.dtype = "float32"
+        else:
+            jax.config.update("jax_enable_x64", True)
+    return args
 
 
 def load_dataset(args) -> KGData:
@@ -172,19 +199,9 @@ def train(args) -> dict:
     setup_logging(save_dir)
     logging.info("Saving logs in: %s", save_dir)
 
-    if args.dtype in ("double", "float64"):
-        if jax.devices()[0].platform != "cpu":
-            # TPU has no native f64 (the FFT HLO won't even compile in f64);
-            # the reference's precision-of-record (double, tuning_fft.sh:34)
-            # is preserved on CPU and by the f64 parity test-suite, while TPU
-            # runs use float32.
-            logging.warning(
-                "dtype=double requested on a non-CPU backend; using float32 "
-                "(TPU has no native f64). Pass --dtype float32 to silence."
-            )
-            args.dtype = "float32"
-        else:
-            jax.config.update("jax_enable_x64", True)
+    # the reference's precision-of-record (double, tuning_fft.sh:34) is
+    # preserved on CPU and by the f64 parity suite; TPU runs use float32
+    apply_dtype_policy(args)
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
 
@@ -238,7 +255,9 @@ def train(args) -> dict:
         # rolling resume point (latest.pkl, written at validation cadence
         # and on SIGTERM)
         candidates = []
-        for fn in ("state.pkl", "latest.pkl"):
+        # latest.pkl FIRST: at equal epochs it wins the max() tie-break —
+        # it carries the counter/best_epoch extras state.pkl doesn't
+        for fn in ("latest.pkl", "state.pkl"):
             if os.path.exists(os.path.join(save_dir, fn)):
                 st = load_checkpoint(save_dir, expect_params=params,
                                      filename=fn)
@@ -311,8 +330,13 @@ def train(args) -> dict:
         ek = jax.random.fold_in(base_key, 2 * epoch)
         vk = jax.random.fold_in(base_key, 2 * epoch + 1)
         rng = np.random.default_rng([args.seed, epoch])
+        # profile the second epoch (first is compile-dominated) — or the
+        # first when it's the only one, so --max_epochs 1 still traces
+        profile_epoch = (
+            start_epoch + 1 if args.max_epochs > start_epoch else start_epoch
+        )
         profile_dir = args.profile_dir if (
-            getattr(args, "profile_dir", None) and epoch == start_epoch + 1
+            getattr(args, "profile_dir", None) and epoch == profile_epoch
         ) else None
         with trace(profile_dir):
             if sub_trainer is not None:
@@ -357,7 +381,10 @@ def train(args) -> dict:
                                 config={"args": vars(args)})
             else:
                 counter += 1
-                if counter == args.patience:
+                # >= (not ==): a run resumed from an early-stopped state
+                # carries counter == patience already; == would never fire
+                # again and the resumed run would train to max_epochs
+                if counter >= args.patience:
                     logging.info("\t Early stopping")
                     stopped_early = True
             # rolling resume point, written AFTER best-checkpoint updates so

@@ -11,7 +11,12 @@ import logging
 
 import jax
 
-from complexhyperbolickge_tpu.cli.run import build_model, load_dataset, setup_logging
+from complexhyperbolickge_tpu.cli.run import (
+    apply_dtype_policy,
+    build_model,
+    load_dataset,
+    setup_logging,
+)
 from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint, load_config
 from complexhyperbolickge_tpu.train.evaluate import (
     avg_both,
@@ -25,8 +30,7 @@ def test(model_dir: str, split: str = "test"):
     setup_logging(model_dir)
     cfg = load_config(model_dir)["args"]
     args = argparse.Namespace(**cfg)
-    if args.dtype in ("double", "float64"):
-        jax.config.update("jax_enable_x64", True)
+    apply_dtype_policy(args)  # f64 on CPU; coerced to f32 on TPU
     dataset = load_dataset(args)
     model = build_model(args, dataset)
     # schema-check the checkpoint against the rebuilt model's shapes so a

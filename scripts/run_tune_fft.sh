@@ -9,7 +9,10 @@ PARALLEL=${PARALLEL:-1}
 
 # MODEL DATASET REG_NAME REG OPT RANK BATCH NEG LR DOUBLE_NEG
 # (the reference's published best configs, README.md:52-62)
-xargs -L 10 -P "${PARALLEL}" "$(dirname "$0")/tune_fft.sh" <<EOF
+# -L 1: one tuple LINE per invocation (xargs -L N bundles N lines; the
+# previous -L 10 packed all six tuples into a single call that only read
+# its first ten positionals — one trial ran, five were silently skipped)
+xargs -L 1 -P "${PARALLEL}" "$(dirname "$0")/tune_fft.sh" <<EOF
 FFTRotH WN18RR N3 0.0 Adam 33 500 100 3e-4 1
 FFTRefH WN18RR N3 0.0 Adam 33 500 100 3e-4 1
 FFTAttH WN18RR N3 0.0 Adam 33 500 100 4e-4 1
