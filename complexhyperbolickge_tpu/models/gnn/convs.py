@@ -117,9 +117,12 @@ class CompGCNConv:
         comp = self._compose(x[tail], rel[etype])
 
         def direction(w_mat, w_edge):
-            msg = comp @ w_mat
+            # matmul AFTER aggregation: segsum is linear and w_mat is
+            # edge-independent, so segsum(norm*comp) @ W == segsum(norm*
+            # (comp @ W)) exactly (up to float association) — E/N fewer
+            # matmul FLOPs and no (E, d) post-matmul intermediate
             norm = M.compute_norm(head, w_edge, n_ent)
-            return M.segment_sum(norm[:, None] * msg, head, n_ent)
+            return M.segment_sum(norm[:, None] * comp, head, n_ent) @ w_mat
 
         agg_in = direction(p["w_in"], edge_w * dir_w)
         agg_out = direction(p["w_out"], edge_w * (1.0 - dir_w))
@@ -153,13 +156,16 @@ class CompGCNConv:
 
         def direction(sl, w):
             r = rel[etype[sl]]
-            msg = self._compose(x[tail[sl]], r) @ w
+            comp = self._compose(x[tail[sl]], r)
             # each [forward; inverse] half arrives sorted by head
-            # (GNNModel.__init__) -> sorted-scatter fast path
+            # (GNNModel.__init__) -> sorted-scatter fast path.  Matmul
+            # AFTER aggregation (segsum is linear, w is edge-independent):
+            # E/N fewer matmul FLOPs, no (E, d) post-matmul intermediate.
             norm = M.compute_norm(head[sl], edge_w[sl], n_ent,
                                   indices_are_sorted=True)
-            return M.segment_sum(norm[:, None] * msg, head[sl], n_ent,
-                                 indices_are_sorted=True)
+            agg = M.segment_sum(norm[:, None] * comp, head[sl], n_ent,
+                                indices_are_sorted=True)
+            return agg @ w
 
         agg_in = direction(slice(0, half), p["w_in"])
         agg_out = direction(slice(half, e), p["w_out"])
