@@ -233,5 +233,28 @@ def test_cli_full_protocol(tmp_path):
     assert 0.0 <= out["test"]["MRR"] <= 1.0
     assert (tmp_path / "state.pkl").exists()
     assert (tmp_path / "config.json").exists()
+    # the log file the reference also writes (minus its double logging)
+    assert (tmp_path / "train.log").read_text().count("average train loss") >= 2
     metrics = eval_cli(str(tmp_path))
     np.testing.assert_allclose(metrics["MRR"], out["test"]["MRR"], rtol=1e-5)
+
+
+def test_apply_dtype_policy_coerces_f64_off_cpu(monkeypatch):
+    """kge-test/kge-predict reuse this policy: a config trained with
+    --dtype double must coerce to float32 on a non-CPU backend instead of
+    failing to compile (TPU has no f64 FFT)."""
+    import argparse
+
+    from complexhyperbolickge_tpu.cli.run import apply_dtype_policy
+
+    class FakeDev:
+        platform = "axon"
+
+    monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
+    args = argparse.Namespace(dtype="double")
+    apply_dtype_policy(args)
+    assert args.dtype == "float32"
+    # non-f64 dtypes pass through untouched
+    args2 = argparse.Namespace(dtype="bfloat16")
+    apply_dtype_policy(args2)
+    assert args2.dtype == "bfloat16"
