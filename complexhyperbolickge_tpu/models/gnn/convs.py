@@ -17,8 +17,9 @@ Reference quirks handled:
     we use the softplused curvature for both rel1 and rel2 (a negative
     curvature would NaN in sqrt) — divergence documented.
   * LorentzConv swaps in_type/out_type in its messages (lorentzgnn.py:96-101
-    passes out_type for the 'in' edges); replicated exactly since the
-    [forward; inverse] layouts are aligned.
+    passes out_type for the 'in' edges); replicated PER EDGE
+    ((t + n_rel/2) % n_rel on each half's own types — the halves here are
+    each sorted by receiving node, so slice-level swapping would misalign).
 """
 
 from __future__ import annotations
