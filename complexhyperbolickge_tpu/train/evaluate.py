@@ -82,12 +82,12 @@ def make_ranker(model, eval_batch_size: int):
 
 
 def make_best_ranker(model, eval_batch_size: int, backend: str = "auto"):
-    """Pick the fused Pallas ranker for CHYP-family models on TPU (1.46x the
+    """Pick the fused Pallas ranker for CHYP-family models on TPU (1.6-1.7x the
     dense path, benchmarks/eval_bench.py), else the dense XLA ranker.
 
     A failure to build the Pallas path is LOUD: backend='pallas' re-raises;
     backend='auto' logs a warning with the exception before degrading to the
-    dense ranker (a silent fallback would hide kernel rot and a 1.46x loss).
+    dense ranker (a silent fallback would hide kernel rot and a ~1.6x loss).
     """
     if backend in ("auto", "pallas"):
         try:

@@ -70,3 +70,34 @@ def test_make_predictor_topk_matches_score_all():
     fidx = np.asarray(ids)[:, :1].astype(np.int32)
     ids2, _ = make_predictor(model, k=k)(params, q, jnp.asarray(fidx))
     assert all(fidx[i, 0] not in np.asarray(ids2)[i] for i in range(b))
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """kge-export writes every checkpoint parameter as a named .npz array
+    that matches the live params."""
+    import json
+
+    import numpy as np
+
+    import jax
+
+    from complexhyperbolickge_tpu.cli.export import export
+    from complexhyperbolickge_tpu.cli.run import build_parser, train
+    from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint
+
+    args = build_parser().parse_args([
+        "--dataset", "synthetic", "--model", "FFTRotH", "--rank", "5",
+        "--max_epochs", "1", "--valid", "1", "--batch_size", "128",
+        "--eval_batch_size", "64", "--neg_sample_size", "5",
+        "--optimizer", "Adam", "--learning_rate", "0.01", "--multi_c",
+        "--dtype", "float32", "--save_dir", str(tmp_path),
+    ])
+    train(args)
+    out = export(str(tmp_path))
+    z = np.load(out)
+    st = load_checkpoint(str(tmp_path))
+    for k, v in st["params"].items():
+        if not isinstance(v, (dict, list, tuple)):
+            np.testing.assert_array_equal(z[k], np.asarray(v))
+    cfg = json.loads(bytes(z["__config__"]).decode())
+    assert cfg["model"] == "FFTRotH"
