@@ -17,26 +17,17 @@ import os
 
 import numpy as np
 
-import jax
-
-from complexhyperbolickge_tpu.cli.run import (
-    apply_dtype_policy,
-    build_model,
-    load_dataset,
-    setup_logging,
-)
+from complexhyperbolickge_tpu.cli.run import setup_logging
 from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint, load_config
 
 
 def export(model_dir: str, out: str | None = None) -> str:
-    setup_logging(model_dir)
+    setup_logging(model_dir, to_file=False)
     cfg = load_config(model_dir)["args"]
-    args = argparse.Namespace(**cfg)
-    apply_dtype_policy(args)
-    dataset = load_dataset(args)
-    model = build_model(args, dataset)
-    expected = model.init(jax.random.PRNGKey(0))
-    params = load_checkpoint(model_dir, expect_params=expected)["params"]
+    # dataset-independent on purpose (serving boxes don't carry the training
+    # data): the checkpoint self-validates against its stored param_schema
+    # inside load_checkpoint, which is all an export needs
+    params = load_checkpoint(model_dir, device_put=False)["params"]
 
     out = out or os.path.join(model_dir, "embeddings.npz")
     flat = {}

@@ -31,14 +31,17 @@ from complexhyperbolickge_tpu.train.evaluate import make_predictor
 
 
 def predict(model_dir: str, queries, k: int = 10, filter_known: bool = False):
-    setup_logging(model_dir)
+    setup_logging(model_dir, to_file=False)
     cfg = load_config(model_dir)["args"]
     args = argparse.Namespace(**cfg)
     apply_dtype_policy(args)  # f64 on CPU; coerced to f32 on TPU
     dataset = load_dataset(args)
     model = build_model(args, dataset)
     expected = model.init(jax.random.PRNGKey(0))
-    params = load_checkpoint(model_dir, expect_params=expected)["params"]
+    # cast_to_expected: a CPU-trained f64 checkpoint evaluates on TPU
+    # after the dtype-policy f32 coercion (shapes stay strict)
+    params = load_checkpoint(model_dir, expect_params=expected,
+                             cast_to_expected=True)["params"]
 
     q = np.asarray(queries, dtype=np.int32)
     assert q.ndim == 2 and q.shape[1] == 2, "queries must be (B, 2) (head, rel)"

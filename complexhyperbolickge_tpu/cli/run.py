@@ -107,7 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host: call jax.distributed.initialize() so "
                         "--mesh spans all hosts' devices (slice boundary "
                         "lands on the 'data' axis; launch one process per "
-                        "host with the standard JAX coordinator env)")
+                        "host with the standard JAX coordinator env). "
+                        "save_dir must be a SHARED filesystem: process 0 "
+                        "writes checkpoints, all processes read them after "
+                        "a barrier")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax profiler trace of one epoch here")
     p.add_argument("--debug_nans", action="store_true",
@@ -126,17 +129,22 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def setup_logging(save_dir: str):
+def setup_logging(save_dir: str, to_file: bool = True):
     """stdout + <save_dir>/train.log (the reference writes a log file too,
-    run.py:141-155 — minus its duplicated-handler double logging)."""
+    run.py:141-155 — minus its duplicated-handler double logging).
+
+    to_file=False (eval/serving CLIs) keeps later runs from appending into
+    the model's training record; under multi-process JAX only process 0
+    attaches the file handler (N writers would interleave)."""
     handlers = [logging.StreamHandler(sys.stdout)]
-    try:
-        os.makedirs(save_dir, exist_ok=True)
-        handlers.append(
-            logging.FileHandler(os.path.join(save_dir, "train.log"))
-        )
-    except OSError:
-        pass  # unwritable dir: stdout-only
+    if to_file and jax.process_index() == 0:
+        try:
+            os.makedirs(save_dir, exist_ok=True)
+            handlers.append(
+                logging.FileHandler(os.path.join(save_dir, "train.log"))
+            )
+        except OSError:
+            pass  # unwritable dir: stdout-only
     logging.basicConfig(
         format="%(asctime)s %(levelname)-8s %(message)s",
         level=logging.INFO,
@@ -151,10 +159,12 @@ def apply_dtype_policy(args):
     (TPU has no native f64 — the FFT HLO won't even compile).  Shared by the
     train/eval/serving CLIs so a CPU-trained double config evaluates on TPU
     instead of failing to compile."""
+    from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
+
     if args.dtype in ("double", "float64"):
-        if jax.devices()[0].platform != "cpu":
+        if is_tpu_backend():  # CUDA/CPU run f64 natively
             logging.warning(
-                "dtype=double requested on a non-CPU backend; using float32 "
+                "dtype=double requested on a TPU backend; using float32 "
                 "(TPU has no native f64). Pass --dtype float32 to silence."
             )
             args.dtype = "float32"

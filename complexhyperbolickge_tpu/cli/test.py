@@ -27,7 +27,7 @@ from complexhyperbolickge_tpu.train.evaluate import (
 
 
 def test(model_dir: str, split: str = "test"):
-    setup_logging(model_dir)
+    setup_logging(model_dir, to_file=False)
     cfg = load_config(model_dir)["args"]
     args = argparse.Namespace(**cfg)
     apply_dtype_policy(args)  # f64 on CPU; coerced to f32 on TPU
@@ -36,7 +36,10 @@ def test(model_dir: str, split: str = "test"):
     # schema-check the checkpoint against the rebuilt model's shapes so a
     # stale config/checkpoint mismatch fails with the parameter named
     expected = model.init(jax.random.PRNGKey(0))
-    params = load_checkpoint(model_dir, expect_params=expected)["params"]
+    # cast_to_expected: a CPU-trained f64 checkpoint evaluates on TPU
+    # after the dtype-policy f32 coercion (shapes stay strict)
+    params = load_checkpoint(model_dir, expect_params=expected,
+                             cast_to_expected=True)["params"]
     rank_fn = make_best_ranker(model, args.eval_batch_size,
                                getattr(args, "eval_backend", "auto"))
     metrics = avg_both(

@@ -73,7 +73,10 @@ def hyp_distance(x, y, c):
     xy = jnp.sum(x * y, axis=-1, keepdims=True)
     c1 = 1 - 2 * c * xy + c * y2
     c2 = 1 - c * x2
-    num = jnp.sqrt((c1**2) * x2 + (c2**2) * y2 - (2 * c1 * c2) * xy)
+    # expanded quadratic >= 0 exactly but can round negative in f32 at
+    # coincident points; MIN_NORM floor also keeps the sqrt VJP finite
+    num = jnp.sqrt(jnp.maximum(
+        (c1**2) * x2 + (c2**2) * y2 - (2 * c1 * c2) * xy, MIN_NORM))
     denom = 1 - 2 * c * xy + c**2 * x2 * y2
     pairwise_norm = num / jnp.maximum(denom, MIN_NORM)
     dist = artanh(sqrt_c * pairwise_norm)
@@ -248,7 +251,8 @@ def hyp_plain_sim_expmap_all(x, v, c):
     xy = m * xv_dir
     c1 = 1 - 2 * c * xy + c * y2
     c2 = 1 - c * x2
-    num = jnp.sqrt((c1**2) * x2 + (c2**2) * y2 - (2 * c1 * c2) * xy)
+    num = jnp.sqrt(jnp.maximum(  # same f32 rounding guard as hyp_distance
+        (c1**2) * x2 + (c2**2) * y2 - (2 * c1 * c2) * xy, MIN_NORM))
     denom = 1 - 2 * c * xy + c**2 * x2 * y2
     pairwise_norm = num / jnp.maximum(denom, MIN_NORM)
     return 2 * artanh(sqrt_c * pairwise_norm) / sqrt_c

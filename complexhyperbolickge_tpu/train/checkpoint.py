@@ -69,27 +69,39 @@ def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
     }
     if extra:
         state.update(extra)
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        return
-    tmp = os.path.join(path, filename + ".tmp")
-    with open(tmp, "wb") as f:
-        pickle.dump(state, f)
-    os.replace(tmp, os.path.join(path, filename))
-    if config is not None:
-        cfg = {
-            k: (dataclasses.asdict(v) if dataclasses.is_dataclass(v) else v)
-            for k, v in config.items()
-        }
-        with open(os.path.join(path, "config.json"), "w") as f:
-            json.dump(cfg, f, indent=2)
+    if jax.process_count() == 1 or jax.process_index() == 0:
+        tmp = os.path.join(path, filename + ".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, os.path.join(path, filename))
+        if config is not None:
+            cfg = {
+                k: (dataclasses.asdict(v) if dataclasses.is_dataclass(v) else v)
+                for k, v in config.items()
+            }
+            with open(os.path.join(path, "config.json"), "w") as f:
+                json.dump(cfg, f, indent=2)
+    if jax.process_count() > 1:
+        # barrier so no process reads the file (final reload / --resume)
+        # before process 0's rename lands; save_dir must be a SHARED
+        # filesystem under multi-host
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt:{filename}:{epoch}")
 
 
 def load_checkpoint(path: str, device_put: bool = True,
-                    expect_params=None, filename: str = "state.pkl"):
+                    expect_params=None, filename: str = "state.pkl",
+                    cast_to_expected: bool = False):
     """Load a checkpoint file; validates the stored schema against itself
     and, when `expect_params` (a live params pytree) is given, against the
     caller's expected shapes/dtypes — failing fast with the offending
-    parameter named."""
+    parameter named.
+
+    cast_to_expected=True relaxes the dtype check (shapes still strict) and
+    casts loaded params to the expected dtypes: the eval/serving CLIs use it
+    so a CPU-trained float64 checkpoint evaluates on TPU after the f32
+    dtype-policy coercion instead of failing the schema check."""
     with open(os.path.join(path, filename), "rb") as f:
         state = pickle.load(f)
     ver = state.get("format_version", 0)
@@ -109,6 +121,9 @@ def load_checkpoint(path: str, device_put: bool = True,
     if expect_params is not None:
         want = _schema(expect_params)
         got = _schema(state["params"])
+        if cast_to_expected:  # compare shapes only
+            want = {k: v[0] for k, v in want.items()}
+            got = {k: v[0] for k, v in got.items()}
         if want != got:
             diffs = [
                 f"  {k}: checkpoint {got.get(k)} vs expected {want.get(k)}"
@@ -119,6 +134,11 @@ def load_checkpoint(path: str, device_put: bool = True,
                 "checkpoint/model mismatch (wrong rank, model, or dtype?):\n"
                 + "\n".join(diffs)
             )
+        if cast_to_expected:
+            state["params"] = {
+                k: np.asarray(v, dtype=np.result_type(expect_params[k]))
+                for k, v in state["params"].items()
+            }
     if device_put:
         state["params"] = jax.tree.map(jnp.asarray, state["params"])
         if state["opt_state"] is not None:

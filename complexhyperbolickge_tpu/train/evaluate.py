@@ -98,7 +98,11 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto"):
                 BaseLorentz,
             )
 
-            on_tpu = jax.devices()[0].platform != "cpu"
+            from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
+
+            # Pallas TPU kernels lower only on TPU backends (native or
+            # tunneled); CUDA/ROCm must keep the portable XLA path
+            on_tpu = is_tpu_backend()
             want = on_tpu or backend == "pallas"
             if isinstance(model, FFTUnitBall) and want:
                 from complexhyperbolickge_tpu.kernels import make_pallas_ranker

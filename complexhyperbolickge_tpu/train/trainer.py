@@ -126,9 +126,9 @@ class Trainer:
             raise ValueError(
                 f"neg_mode={cfg.neg_mode!r} is not supported for GNN models"
             )
-        # != "cpu" (not == "tpu"): the tunneled-TPU backend reports its own
-        # platform name — same detection as evaluate.make_best_ranker
-        if cfg.fused_scorer and jax.devices()[0].platform != "cpu":
+        from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
+
+        if cfg.fused_scorer and is_tpu_backend():
             from complexhyperbolickge_tpu.ops.chyperbolic import (
                 set_fused_train_scorer,
             )

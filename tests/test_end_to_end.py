@@ -239,22 +239,62 @@ def test_cli_full_protocol(tmp_path):
     np.testing.assert_allclose(metrics["MRR"], out["test"]["MRR"], rtol=1e-5)
 
 
-def test_apply_dtype_policy_coerces_f64_off_cpu(monkeypatch):
+def test_apply_dtype_policy_coerces_f64_on_tpu_only(monkeypatch):
     """kge-test/kge-predict reuse this policy: a config trained with
-    --dtype double must coerce to float32 on a non-CPU backend instead of
-    failing to compile (TPU has no f64 FFT)."""
+    --dtype double must coerce to float32 on TPU backends (native or
+    tunneled — no f64 FFT there) but stay f64 on CPU/CUDA, which run f64
+    natively."""
     import argparse
 
     from complexhyperbolickge_tpu.cli.run import apply_dtype_policy
 
-    class FakeDev:
-        platform = "axon"
+    def fake(platform, kind):
+        class D:
+            pass
 
-    monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
+        D.platform, D.device_kind = platform, kind
+        return D()
+
+    # tunneled TPU: platform may be anything, device_kind names the TPU
+    monkeypatch.setattr(jax, "devices", lambda: [fake("axon", "TPU v5 lite")])
     args = argparse.Namespace(dtype="double")
     apply_dtype_policy(args)
     assert args.dtype == "float32"
+    # native TPU platform
+    monkeypatch.setattr(jax, "devices", lambda: [fake("tpu", "TPU v4")])
+    args = argparse.Namespace(dtype="double")
+    apply_dtype_policy(args)
+    assert args.dtype == "float32"
+    # CUDA: f64 is native — keep it (x64 enabled instead)
+    monkeypatch.setattr(jax, "devices", lambda: [fake("gpu", "NVIDIA A100")])
+    args = argparse.Namespace(dtype="double")
+    apply_dtype_policy(args)
+    assert args.dtype == "double"
     # non-f64 dtypes pass through untouched
     args2 = argparse.Namespace(dtype="bfloat16")
     apply_dtype_policy(args2)
     assert args2.dtype == "bfloat16"
+
+
+def test_checkpoint_cast_to_expected_dtype(tmp_path, data):
+    """A CPU-trained f64 checkpoint must load (cast) against an f32 model
+    when cast_to_expected=True — the eval/serving CLIs' path after the TPU
+    dtype-policy coercion; shapes stay strict either way."""
+    model, trainer, params, opt_state, _ = _train(data, epochs=1,
+                                                  neg_sample_size=5)
+    f64 = {k: np.asarray(v, dtype=np.float64) for k, v in params.items()}
+    save_checkpoint(str(tmp_path), f64, None, epoch=1, best_mrr=0.1)
+    import pytest
+
+    with pytest.raises(ValueError, match="mismatch"):
+        load_checkpoint(str(tmp_path), expect_params=params)
+    st = load_checkpoint(str(tmp_path), expect_params=params,
+                         cast_to_expected=True)
+    for k, v in st["params"].items():
+        assert np.result_type(v) == np.result_type(params[k]), k
+    # shape mismatches still fail even with the cast
+    bad = dict(params)
+    bad["entity"] = np.zeros((3, 3), np.float32)
+    with pytest.raises(ValueError, match="entity"):
+        load_checkpoint(str(tmp_path), expect_params=bad,
+                        cast_to_expected=True)
