@@ -23,11 +23,22 @@ from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint, load_conf
 
 def export(model_dir: str, out: str | None = None) -> str:
     setup_logging(model_dir, to_file=False)
-    cfg = load_config(model_dir)["args"]
     # dataset-independent on purpose (serving boxes don't carry the training
     # data): the checkpoint self-validates against its stored param_schema
     # inside load_checkpoint, which is all an export needs
-    params = load_checkpoint(model_dir, device_put=False)["params"]
+    st = load_checkpoint(model_dir, device_put=False)
+    params = st["params"]
+    # provenance: prefer the config stored INSIDE the checkpoint (always
+    # consistent with the weights); config.json may describe a newer
+    # relaunch whose first checkpoint never landed
+    if st.get("config"):
+        cfg = st["config"]["args"]
+    else:
+        cfg = load_config(model_dir)["args"]
+        logging.warning(
+            "checkpoint carries no embedded config (older format); using "
+            "config.json — it may postdate these weights"
+        )
 
     out = out or os.path.join(model_dir, "embeddings.npz")
     flat = {}

@@ -410,7 +410,20 @@ def train(args) -> dict:
         # a resumed run's trajectory is identical to a continuous run (an
         # earlier break here skipped the interrupted epoch's validation —
         # losing it permanently if it was the best epoch)
-        if stop_signal["flag"]:
+        stop = stop_signal["flag"]
+        if jax.process_count() > 1:
+            # a SIGTERM may land on one host only; act on the GLOBAL OR of
+            # the flags so every process takes the same branch (a local
+            # decision would deadlock the save barrier / training
+            # collectives across hosts)
+            from jax.experimental import multihost_utils
+
+            stop = bool(
+                multihost_utils.process_allgather(
+                    np.asarray([stop_signal["flag"]])
+                ).any()
+            )
+        if stop:
             save_checkpoint(save_dir, params, opt_state, epoch, best_mrr,
                             filename="latest.pkl",
                             extra={"counter": counter,

@@ -66,8 +66,8 @@ def _hyp_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
     num = jnp.sqrt(
         jnp.maximum(
             c1 * c1 * x2 + c2 * c2 * gamma * gamma - 2.0 * c1 * c2 * gamma * xv,
-            0.0,
-        )
+            MIN_NORM,  # same floor as ops/hyperbolic.py so dense and fused
+        )          # rankers agree bitwise at coincident points
     )
     denom = 1.0 - 2.0 * c * gamma * xv + c * c * gamma * gamma * x2
     pn = num / jnp.maximum(denom, MIN_NORM)
@@ -156,7 +156,7 @@ def _attrh_rank_kernel(lhs_rot_ref, lhs_ref_ref, x2r_ref, x2f_ref, c_ref,
             jnp.maximum(
                 c1 * c1 * x2 + c2 * c2 * gamma * gamma
                 - 2.0 * c1 * c2 * gamma * xv,
-                0.0,
+                MIN_NORM,  # same floor as the dense path
             )
         )
         denom = 1.0 - 2.0 * c * gamma * xv + c * c * gamma * gamma * x2

@@ -69,6 +69,15 @@ def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
     }
     if extra:
         state.update(extra)
+    if config is not None:
+        # the config rides INSIDE the checkpoint too: config.json is
+        # rewritten at every launch, so it can describe a NEWER run than the
+        # weights on disk — consumers needing weights-consistent provenance
+        # (kge-export) read this copy
+        state["config"] = {
+            k: (dataclasses.asdict(v) if dataclasses.is_dataclass(v) else v)
+            for k, v in config.items()
+        }
     if jax.process_count() == 1 or jax.process_index() == 0:
         tmp = os.path.join(path, filename + ".tmp")
         with open(tmp, "wb") as f:
