@@ -41,6 +41,10 @@ def export(model_dir: str, out: str | None = None) -> str:
         )
 
     out = out or os.path.join(model_dir, "embeddings.npz")
+    if not out.endswith(".npz"):
+        # np.savez silently appends '.npz'; normalize up front so the
+        # logged/returned path is the file that actually exists
+        out += ".npz"
     flat = {}
 
     def add(prefix, tree):

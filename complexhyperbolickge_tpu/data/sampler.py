@@ -32,8 +32,6 @@ import numpy as np
 # setup.py::BuildWithSampler).
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _ENV_LIB = os.environ.get("KGSAMPLER_LIB")
-if _ENV_LIB and not os.path.exists(_ENV_LIB):
-    raise FileNotFoundError(f"KGSAMPLER_LIB={_ENV_LIB} does not exist")
 _LIB_CANDIDATES = [
     p
     for p in (
@@ -52,6 +50,12 @@ _U8P = ctypes.POINTER(ctypes.c_uint8)
 
 
 def _load_lib():
+    # env-override validation happens HERE (first sampler use), not at module
+    # import: a stale KGSAMPLER_LIB must not make the whole package
+    # unimportable for code paths that never touch the sampler (export/
+    # predict on a serving box).  It is still a hard error when reached.
+    if _ENV_LIB and not os.path.exists(_ENV_LIB):
+        raise FileNotFoundError(f"KGSAMPLER_LIB={_ENV_LIB} does not exist")
     if not os.path.exists(_LIB_PATH):
         src_dir = os.path.dirname(_LIB_PATH)
         if os.path.exists(os.path.join(src_dir, "Makefile")):

@@ -47,10 +47,12 @@ def make_mesh(shape=None, devices=None) -> Mesh:
         shape = (len(devices), 1)
     n_slices = len({getattr(d, "slice_index", 0) for d in devices})
     if n_slices > 1:
-        assert shape[0] % n_slices == 0, (
-            f"'data' axis {shape[0]} must be divisible by {n_slices} slices "
-            "(the slice boundary maps onto the data axis)"
-        )
+        if shape[0] % n_slices != 0:
+            # user-config validation: must survive `python -O` (no assert)
+            raise ValueError(
+                f"'data' axis {shape[0]} must be divisible by {n_slices} "
+                "slices (the slice boundary maps onto the data axis)"
+            )
         dev_mesh = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(shape[0] // n_slices, shape[1]),
             dcn_mesh_shape=(n_slices, 1),
