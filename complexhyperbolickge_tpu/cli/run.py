@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--double_neg", nargs="?", const=True, default=False,
                    type=lambda s: bool(int(s)))
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--synthetic_entities", default=200, type=int,
+                   help="--dataset synthetic only: entity count (odd values "
+                        "exercise the mesh entity-padding path)")
     p.add_argument("--multi_c", action="store_true")
     p.add_argument("--smoothing", default=None, type=float)
     p.add_argument("--save_dir", default=".")
@@ -185,7 +188,9 @@ def apply_dtype_policy(args):
 
 def load_dataset(args) -> KGData:
     if args.dataset == "synthetic":
-        return synthetic_kg()
+        return synthetic_kg(
+            n_entities=getattr(args, "synthetic_entities", 200)
+        )
     return KGData(os.path.join(args.data_path, args.dataset), args.debug)
 
 
@@ -248,6 +253,8 @@ def train(args) -> dict:
     _, init_key = jax.random.split(base_key)
     params, opt_state = trainer.init(init_key)
     logging.info("Total number of parameters %d", count_params(params))
+    # canonical (unpadded) param layout: checkpoint schema validation target
+    canon_params = params
 
     mesh = None
     if getattr(args, "mesh", None):
@@ -255,7 +262,11 @@ def train(args) -> dict:
 
         d, m = (int(x) for x in args.mesh.lower().split("x"))
         mesh = make_mesh((d, m))
-        params = shard_params(params, mesh)
+        # GNN models keep entity tables replicated when padding would be
+        # needed: their full-graph encoder computes batch-norm statistics
+        # over all node rows, which zero pad rows would shift
+        params = shard_params(params, mesh,
+                              pad=not getattr(model, "is_gnn", False))
         opt_state = trainer.tx.init(params)
         logging.info("Mesh: data=%d model=%d over %d devices", d, m, d * m)
 
@@ -279,7 +290,7 @@ def train(args) -> dict:
         # it carries the counter/best_epoch extras state.pkl doesn't
         for fn in ("latest.pkl", "state.pkl"):
             if os.path.exists(os.path.join(save_dir, fn)):
-                st = load_checkpoint(save_dir, expect_params=params,
+                st = load_checkpoint(save_dir, expect_params=canon_params,
                                      filename=fn)
                 candidates.append(st)
         if candidates:
@@ -288,15 +299,18 @@ def train(args) -> dict:
                 # re-commit the host-loaded state onto the mesh shardings
                 # (the pre-resume params/opt_state carry the target layout;
                 # skipping this silently resumes replicated, dropping the
-                # model-axis row sharding)
-                st["params"] = jax.tree.map(
-                    lambda x, ref: jax.device_put(x, ref.sharding),
-                    st["params"], params,
-                )
-                st["opt_state"] = jax.tree.map(
-                    lambda x, ref: jax.device_put(x, ref.sharding),
-                    st["opt_state"], opt_state,
-                )
+                # model-axis row sharding).  Checkpoints are canonical
+                # (unpadded); zero-pad entity-dim leaves back up to the
+                # mesh-padded row count the live state carries.
+                def _fit(x, ref):
+                    x = np.asarray(x)
+                    if x.shape != ref.shape:
+                        x = np.pad(x, [(0, r - s)
+                                       for s, r in zip(x.shape, ref.shape)])
+                    return jax.device_put(x, ref.sharding)
+
+                st["params"] = jax.tree.map(_fit, st["params"], params)
+                st["opt_state"] = jax.tree.map(_fit, st["opt_state"], opt_state)
             params, opt_state = st["params"], st["opt_state"]
             start_epoch = st["epoch"] + 1
             best_mrr = st["best_mrr"]
@@ -304,11 +318,26 @@ def train(args) -> dict:
             best_epoch = st.get("best_epoch", None)
             logging.info("Resumed from epoch %d", st["epoch"])
 
+    def _canon(tree):
+        """Slice mesh-padded entity-dim leaves back to canonical rows before
+        a checkpoint write — checkpoints stay portable (test.py/export/serving
+        see reference shapes regardless of the training mesh)."""
+        if mesh is None or tree is None:
+            return tree
+        from complexhyperbolickge_tpu.parallel import (
+            padded_rows,
+            unpad_entity_tree,
+        )
+
+        return unpad_entity_tree(
+            tree, sizes[0], padded_rows(sizes[0], mesh.shape["model"])
+        )
+
     if mesh is not None and mesh.shape["model"] > 1 \
-            and sizes[0] % mesh.shape["model"] == 0 \
             and not getattr(model, "is_gnn", False):
         from complexhyperbolickge_tpu.parallel import make_sharded_ranker
 
+        # odd entity counts are handled inside the ranker (zero-pad + mask)
         rank_fn = make_sharded_ranker(model, mesh, sizes[0])
     else:
         rank_fn = make_best_ranker(model, args.eval_batch_size,
@@ -397,7 +426,7 @@ def train(args) -> dict:
             if not best_mrr or valid_mrr > best_mrr:
                 best_mrr, counter, best_epoch = valid_mrr, 0, epoch
                 logging.info("\t Saving model at epoch %d in %s", epoch, save_dir)
-                save_checkpoint(save_dir, params, opt_state, epoch, best_mrr,
+                save_checkpoint(save_dir, _canon(params), _canon(opt_state), epoch, best_mrr,
                                 config={"args": vars(args)})
             else:
                 counter += 1
@@ -409,7 +438,7 @@ def train(args) -> dict:
                     stopped_early = True
             # rolling resume point, written AFTER best-checkpoint updates so
             # a resumed run restores the post-validation best_mrr/counter
-            save_checkpoint(save_dir, params, opt_state, epoch, best_mrr,
+            save_checkpoint(save_dir, _canon(params), _canon(opt_state), epoch, best_mrr,
                             filename="latest.pkl",
                             extra={"counter": counter,
                                    "best_epoch": best_epoch})
@@ -434,7 +463,7 @@ def train(args) -> dict:
                 ).any()
             )
         if stop:
-            save_checkpoint(save_dir, params, opt_state, epoch, best_mrr,
+            save_checkpoint(save_dir, _canon(params), _canon(opt_state), epoch, best_mrr,
                             filename="latest.pkl",
                             extra={"counter": counter,
                                    "best_epoch": best_epoch})
@@ -449,7 +478,7 @@ def train(args) -> dict:
     else:
         # record the LAST COMPLETED epoch, not max_epochs — the run may have
         # stopped early (signal); a wrong epoch here corrupts --resume
-        save_checkpoint(save_dir, params, opt_state, epoch, None,
+        save_checkpoint(save_dir, _canon(params), _canon(opt_state), epoch, None,
                         config={"args": vars(args)})
 
     valid_metrics = avg_both(compute_metrics(

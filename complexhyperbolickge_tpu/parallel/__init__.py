@@ -1,7 +1,10 @@
 from complexhyperbolickge_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    pad_entity_tree,
+    padded_rows,
     param_shardings,
-    shard_params,
     shard_epoch_arrays,
+    shard_params,
+    unpad_entity_tree,
 )
 from complexhyperbolickge_tpu.parallel.ranking import make_sharded_ranker  # noqa: F401

@@ -20,6 +20,7 @@ propagate from committed inputs, so the Trainer/evaluator code is unchanged.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -65,18 +66,83 @@ def make_mesh(shape=None, devices=None) -> Mesh:
     return Mesh(dev_mesh, axis_names=("data", "model"))
 
 
+def padded_rows(n: int, n_shards: int) -> int:
+    """Rows after padding n up to a multiple of the model-axis size."""
+    return -(-n // n_shards) * n_shards
+
+
+def pad_entity_tree(tree, n_entities: int, np_: int):
+    """Zero-pad every leaf with leading dim n_entities to np_ rows.
+
+    Real datasets have odd entity counts (WN18RR 40,943; FB237 14,541;
+    YAGO3-10 123,182 = 2*61,591), while jax sharding requires the sharded
+    dim divisible by the mesh axis — so the entity/bh/bt tables (and their
+    optimizer moments, which mirror their shapes) are padded with zero rows.
+    Zero pad rows are inert by construction: gathers/scatters only touch
+    real ids (< n_entities), the N3/F2/L2 regularizers of a zero row are
+    zero with zero gradient, and every score_all consumer masks columns
+    >= n_entities (train/losses.py::mask helpers, train/evaluate.py,
+    parallel/ranking.py) so pad entities never receive gradient — rows
+    initialized zero stay zero under Adam/Adagrad/SGD."""
+    if np_ == n_entities:
+        return tree
+
+    def f(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_entities:
+            widths = [(0, np_ - n_entities)] + [(0, 0)] * (x.ndim - 1)
+            return (np.pad if isinstance(x, np.ndarray) else jnp.pad)(x, widths)
+        return x
+
+    return jax.tree.map(f, tree)
+
+
+def unpad_entity_tree(tree, n_entities: int, np_: int):
+    """Inverse of pad_entity_tree: slice every np_-row leaf back to
+    n_entities rows (checkpoints stay canonical/portable — test.py, export
+    and single-chip eval all see reference shapes)."""
+    if np_ == n_entities:
+        return tree
+
+    def f(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == np_:
+            return x[:n_entities]
+        return x
+
+    return jax.tree.map(f, tree)
+
+
 def param_shardings(mesh: Mesh, params: dict) -> dict:
-    """NamedSharding per param: entity-table rows on 'model', rest replicated."""
+    """NamedSharding per param: entity-table rows on 'model', rest replicated.
+
+    Entity params whose row count does not divide the model axis are
+    replicated (callers that want row sharding pad first — shard_params)."""
+    n_shards = mesh.shape["model"]
     out = {}
     for name, p in params.items():
-        if name in _ENTITY_PARAMS and mesh.shape["model"] > 1:
+        if name in _ENTITY_PARAMS and n_shards > 1 and p.shape[0] % n_shards == 0:
             out[name] = NamedSharding(mesh, P("model", *([None] * (p.ndim - 1))))
         else:
             out[name] = NamedSharding(mesh, P())
     return out
 
 
-def shard_params(params: dict, mesh: Mesh) -> dict:
+def shard_params(params: dict, mesh: Mesh, pad: bool = True) -> dict:
+    """Commit params onto the mesh, entity tables row-sharded over 'model'.
+
+    pad=True (default): entity tables whose row count does not divide the
+    model axis are zero-padded to the next multiple (pad_entity_tree) so
+    row sharding works at real dataset scales (odd entity counts).
+    pad=False: such tables are replicated instead — the right choice for
+    GNN models, whose full-graph encoder computes batch-norm statistics
+    over ALL node rows (pad rows would shift them; models/gnn/convs.py)."""
+    n_shards = mesh.shape["model"]
+    if pad and n_shards > 1:
+        n_ent = params["entity"].shape[0] if "entity" in params else 0
+        if n_ent % n_shards != 0:
+            keep = {k for k in _ENTITY_PARAMS if k in params}
+            sub = {k: params[k] for k in keep}
+            sub = pad_entity_tree(sub, n_ent, padded_rows(n_ent, n_shards))
+            params = {**params, **sub}
     sh = param_shardings(mesh, params)
     return {k: jax.device_put(v, sh[k]) for k, v in params.items()}
 

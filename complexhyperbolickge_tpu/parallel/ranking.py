@@ -12,13 +12,26 @@ count to
 — an exact, communication-light parallel ranking: the collectives are a
 psum-gather of the B query-head rows, one psum of the gold-tail score, and
 one psum of a (B,) count vector.
+
+Real datasets have odd entity counts (WN18RR 40,943; FB237 14,541;
+YAGO3-10 123,182 = 2*61,591) that never divide a multi-device model axis,
+so the ranker zero-pads the entity tables up to the next multiple (cached
+per params version) and masks the pad rows out of the local counts — the
+same pattern the fused Pallas ranker uses for its tile grid
+(kernels/chyp_rank.py).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from complexhyperbolickge_tpu.parallel.mesh import (
+    _ENTITY_PARAMS,
+    pad_entity_tree,
+    padded_rows,
+)
 
 
 def _gather_rows_sharded(local_table, ids, lo, shard_n, axis_name="model"):
@@ -35,14 +48,14 @@ def _gather_rows_sharded(local_table, ids, lo, shard_n, axis_name="model"):
 def make_sharded_ranker(model, mesh, n_entities: int):
     """Compiled shard_map ranking: (params, q, fidx) -> float ranks (B,).
 
-    entity/bh/bt arrive row-sharded over 'model'; q and fidx replicated.
-    n_entities must divide by the 'model' axis size.
+    Accepts params with the entity tables at EITHER the real n_entities row
+    count or already padded to a model-axis multiple (mesh training); the
+    tables are (re-)padded and committed row-sharded over 'model' once per
+    params version.  q and fidx are replicated.
     """
     n_shards = mesh.shape["model"]
-    assert n_entities % n_shards == 0, (
-        f"n_entities={n_entities} not divisible by model axis {n_shards}"
-    )
-    shard_n = n_entities // n_shards
+    np_ = padded_rows(n_entities, n_shards)
+    shard_n = np_ // n_shards
 
     def local_rank(params, q, fidx):
         shard_idx = jax.lax.axis_index("model")
@@ -63,6 +76,11 @@ def make_sharded_ranker(model, mesh, n_entities: int):
             s = lhs_b + params["bt"][None, :, 0] + s
         elif model.cfg.bias == "constant":
             s = s + model.cfg.gamma
+
+        # mask this shard's PAD rows (global id >= n_entities) below any
+        # reachable score so they never count; gold tails are always real
+        gid = lo + jnp.arange(shard_n)
+        s = jnp.where((gid < n_entities)[None, :], s, -jnp.inf)
 
         # gold-tail score: only the owning shard contributes
         t_local = q[:, 2] - lo
@@ -88,7 +106,7 @@ def make_sharded_ranker(model, mesh, n_entities: int):
 
     in_specs = (
         {
-            name: (P("model", None) if name in ("entity", "bh", "bt") else P())
+            name: (P("model", None) if name in _ENTITY_PARAMS else P())
             for name in model.param_specs()
         },
         P(),
@@ -98,14 +116,42 @@ def make_sharded_ranker(model, mesh, n_entities: int):
         local_rank, mesh=mesh, in_specs=in_specs, out_specs=P(),
         check_vma=False,
     )
-    ranker = jax.jit(fn)
+    jit_fn = jax.jit(fn)
+
+    # padded+row-sharded tables cached per params version, keyed by a STRONG
+    # reference to the params object (an id() key could alias a new pytree
+    # allocated at a freed address)
+    ent_keys = [k for k in model.param_specs() if k in _ENTITY_PARAMS]
+    out_sh = {
+        name: NamedSharding(
+            mesh, P("model", *([None] * (len(spec[0]) - 1)))
+            if name in _ENTITY_PARAMS else P()
+        )
+        for name, spec in model.param_specs().items()
+    }
+
+    def _pad(params):
+        sub = {k: params[k] for k in ent_keys}
+        n = sub["entity"].shape[0]
+        return {**params, **pad_entity_tree(sub, n, np_)}
+
+    pad_jit = jax.jit(_pad, out_shardings=out_sh)
+    cache = {"src": None, "padded": None}
+
+    def _tables(params):
+        if cache["src"] is not params:
+            cache["src"], cache["padded"] = params, pad_jit(params)
+        return cache["padded"]
 
     @jax.jit
-    def rank_many(params, qb, fb):
+    def _rank_many(params, qb, fb):
         """Whole-split form: lax.map over batches with the shard_map body
         inlined — one dispatch per split (train/evaluate.py::get_ranking
         takes this path automatically)."""
         return jax.lax.map(lambda x: fn(params, *x), (qb, fb))
 
-    ranker.rank_many = rank_many
+    def ranker(params, q, fidx):
+        return jit_fn(_tables(params), q, fidx)
+
+    ranker.rank_many = lambda params, qb, fb: _rank_many(_tables(params), qb, fb)
     return ranker

@@ -19,6 +19,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _mask_pad_cols(scores, n_entities: int):
+    """Entity tables row-padded for the mesh 'model' axis (parallel/mesh.py)
+    make score_all emit pad columns past n_entities; push them below any
+    target so they never count toward a rank (and never win top-k)."""
+    if scores.shape[-1] == n_entities:
+        return scores
+    valid = (jnp.arange(scores.shape[-1]) < n_entities)[None, :]
+    return jnp.where(valid, scores, -jnp.inf)
+
+
 def make_ranker(model, eval_batch_size: int):
     """Compiled filtered-ranking over one query batch.
 
@@ -31,7 +41,10 @@ def make_ranker(model, eval_batch_size: int):
         encode = jax.jit(lambda p: model.encode(p))
 
         def _core(params, cache, q, fidx):
-            scores = model.score_all(params, q[:, :2], cache=cache)
+            scores = _mask_pad_cols(
+                model.score_all(params, q[:, :2], cache=cache),
+                model.cfg.n_entities,
+            )
             target = jnp.take_along_axis(scores, q[:, 2:3], axis=1)
             rows = jnp.arange(q.shape[0])[:, None]
             scores = scores.at[rows, fidx].set(-1e6, mode="drop")
@@ -61,7 +74,9 @@ def make_ranker(model, eval_batch_size: int):
         return rank_batch
 
     def _rank_one(params, q, fidx):
-        scores = model.score_all(params, q[:, :2])  # (B, N)
+        scores = _mask_pad_cols(
+            model.score_all(params, q[:, :2]), model.cfg.n_entities
+        )  # (B, N)
         target = jnp.take_along_axis(scores, q[:, 2:3], axis=1)  # (B, 1)
         rows = jnp.arange(q.shape[0])[:, None]
         scores = scores.at[rows, fidx].set(-1e6, mode="drop")
@@ -155,7 +170,10 @@ def make_predictor(model, k: int = 10):
 
         @jax.jit
         def _predict(params, cache, queries, fidx):
-            scores = model.score_all(params, queries, cache=cache)
+            scores = _mask_pad_cols(
+                model.score_all(params, queries, cache=cache),
+                model.cfg.n_entities,
+            )
             if fidx is not None:
                 rows = jnp.arange(queries.shape[0])[:, None]
                 scores = scores.at[rows, fidx].set(-jnp.inf, mode="drop")
@@ -171,7 +189,8 @@ def make_predictor(model, k: int = 10):
 
     @jax.jit
     def predict(params, queries, fidx=None):
-        scores = model.score_all(params, queries)
+        scores = _mask_pad_cols(model.score_all(params, queries),
+                                model.cfg.n_entities)
         if fidx is not None:
             rows = jnp.arange(queries.shape[0])[:, None]
             scores = scores.at[rows, fidx].set(-jnp.inf, mode="drop")

@@ -27,6 +27,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _pad_col_mask(preds, n_entities):
+    """(1, Np) bool mask of REAL entity columns, or None when unpadded.
+
+    Entity tables row-padded for the mesh 'model' axis (parallel/mesh.py::
+    pad_entity_tree) make score_all emit extra pad columns; every all-entity
+    loss must exclude them (mask -> zero gradient -> pad rows stay zero)."""
+    np_ = preds.shape[-1]
+    if n_entities is None or np_ == n_entities:
+        return None
+    return (jnp.arange(np_) < n_entities)[None, :]
+
+
 def sample_negatives(key, batch, n_entities: int, k: int):
     """k uniform samples over entities != gold tail (kg_optimizer.py:92-98)."""
     neg = jax.random.randint(key, (batch.shape[0], k), 0, n_entities - 1)
@@ -191,17 +203,25 @@ def neg_sampling_loss_pooled(model, params, batch, weights, key,
     return -num / den, factors
 
 
-def cross_entropy_loss(model, params, batch, weights, smoothing: float | None):
+def cross_entropy_loss(model, params, batch, weights, smoothing: float | None,
+                       n_entities: int | None = None):
     """All-entity CE with torch-style label smoothing (kg_optimizer.py:47,
     186-191): loss_i = (1-eps)(-log p_t) + eps * mean_k(-log p_k)."""
     queries, tails = batch[:, :2], batch[:, 2]
-    preds = model.score_all(params, queries)  # (B, N)
+    preds = model.score_all(params, queries)  # (B, N) — or (B, Np) padded
     factors = model.get_factors(params, queries, None)
+    valid = _pad_col_mask(preds, n_entities)
+    if valid is not None:
+        preds = jnp.where(valid, preds, -1e30)  # softmax mass 0 on pad cols
     logp = jax.nn.log_softmax(preds, axis=-1)
     nll = -jnp.take_along_axis(logp, tails[:, None], axis=1)[:, 0]
     eps = 0.0 if smoothing is None else smoothing
     if eps:
-        nll = (1 - eps) * nll + eps * jnp.mean(-logp, axis=-1)
+        if valid is None:
+            smooth = jnp.mean(-logp, axis=-1)
+        else:  # mean over the REAL entity columns only
+            smooth = jnp.sum(jnp.where(valid, -logp, 0.0), axis=-1) / n_entities
+        nll = (1 - eps) * nll + eps * smooth
     return jnp.sum(weights * nll) / jnp.sum(weights), factors
 
 
@@ -219,9 +239,14 @@ def bce_loss(model, params, batch, weights, label_idx, n_entities: int,
     """BCE(sigmoid(preds), smoothed multi-hot labels) (kg_optimizer.py:155-162),
     computed in log-space for stability."""
     queries = batch[:, :2]
-    preds = model.score_all(params, queries)  # (B, N)
+    preds = model.score_all(params, queries)  # (B, N) — or (B, Np) padded
     factors = model.get_factors(params, queries, None)
+    valid = _pad_col_mask(preds, n_entities)
+    # labels built at the REAL width (the pad value n_entities must drop in
+    # the scatter, not land on a pad column), then zero-padded to match
     y = dense_labels(label_idx, n_entities, preds.dtype)
+    if valid is not None:
+        y = jnp.pad(y, ((0, 0), (0, preds.shape[-1] - n_entities)))
     eps = 0.0 if smoothing is None else smoothing
     if eps:
         y = (1.0 - eps) * y + eps / n_entities
@@ -230,19 +255,25 @@ def bce_loss(model, params, batch, weights, label_idx, n_entities: int,
     log_p = jnp.maximum(_logsigmoid(preds), -100.0)
     log_1mp = jnp.maximum(_logsigmoid(-preds), -100.0)
     per_elt = -(y * log_p + (1 - y) * log_1mp)
+    if valid is not None:
+        per_elt = jnp.where(valid, per_elt, 0.0)
     w = weights[:, None]
     return jnp.sum(w * per_elt) / (jnp.sum(weights) * n_entities), factors
 
 
-def signed_logsigmoid_ce_loss(model, params, batch, weights):
+def signed_logsigmoid_ce_loss(model, params, batch, weights,
+                              n_entities: int | None = None):
     """Labelless binarycrossentropy branch (kg_optimizer.py:163-171):
     log_prob = logsig(-preds); log_prob[i, t] += logsig(p) - logsig(-p);
     loss = -mean(log_prob)."""
     queries, tails = batch[:, :2], batch[:, 2]
     preds = model.score_all(params, queries)
     factors = model.get_factors(params, queries, None)
-    n = preds.shape[-1]
+    valid = _pad_col_mask(preds, n_entities)
+    n = preds.shape[-1] if valid is None else n_entities
     log_prob = _logsigmoid(-preds)
+    if valid is not None:
+        log_prob = jnp.where(valid, log_prob, 0.0)
     gold = jnp.take_along_axis(preds, tails[:, None], axis=1)
     bump = _logsigmoid(gold) - _logsigmoid(-gold)
     log_prob = log_prob + jnp.zeros_like(log_prob).at[

@@ -175,7 +175,8 @@ class Trainer:
                 )
         elif cfg.loss == "crossentropy":
             loss, factors = L.cross_entropy_loss(
-                model, params, batch, weights, cfg.smoothing
+                model, params, batch, weights, cfg.smoothing,
+                n_entities=self.n_entities,
             )
         elif cfg.loss == "binarycrossentropy":
             if labels is not None:
@@ -185,7 +186,7 @@ class Trainer:
                 )
             else:
                 loss, factors = L.signed_logsigmoid_ce_loss(
-                    model, params, batch, weights
+                    model, params, batch, weights, n_entities=self.n_entities
                 )
         else:
             raise ValueError(f"unknown loss {cfg.loss!r}")

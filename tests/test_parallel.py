@@ -1,8 +1,12 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh.
 
 Validates that (a) data-parallel training over a sharded batch produces the
-same numbers as single-device execution, and (b) the entity-sharded
-shard_map ranker reproduces the dense filtered ranking exactly.
+same numbers as single-device execution, (b) the entity-sharded shard_map
+ranker reproduces the dense filtered ranking exactly, and (c) both hold at
+an ODD entity count — the realistic case (WN18RR 40,943; FB237 14,541;
+YAGO3-10 123,182 = 2*61,591 — none divisible by a multi-device model axis),
+handled by zero-padding the entity tables (parallel/mesh.py::pad_entity_tree)
+with pad rows masked out of scores/losses.
 """
 
 import numpy as np
@@ -16,13 +20,23 @@ from complexhyperbolickge_tpu.models import ModelConfig, get_model
 from complexhyperbolickge_tpu.parallel import (
     make_mesh,
     make_sharded_ranker,
+    padded_rows,
     shard_epoch_arrays,
     shard_params,
+    unpad_entity_tree,
 )
 from complexhyperbolickge_tpu.train.evaluate import get_ranking, make_ranker
 from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
 
-N_ENT = 48  # divisible by the model-axis sizes used below
+# deliberately ODD: no model-axis size divides it, so every mesh test below
+# exercises the entity-row padding path end to end
+N_ENT = 49
+
+
+def _unpad(tree, mesh):
+    return unpad_entity_tree(
+        tree, N_ENT, padded_rows(N_ENT, mesh.shape["model"])
+    )
 
 
 @pytest.fixture(scope="module")
@@ -85,6 +99,7 @@ def test_sharded_ranker_matches_dense(data, setup, mesh_shape):
 
     dense_ranks = get_ranking(model, params, pack, batch_size=16)
 
+    # N_ENT=49 divides none of the model-axis sizes: the ranker pads + masks
     ranker = make_sharded_ranker(model, mesh, N_ENT)
     sp = shard_params(params, mesh)
     ranks = []
@@ -96,11 +111,26 @@ def test_sharded_ranker_matches_dense(data, setup, mesh_shape):
     np.testing.assert_array_equal(np.concatenate(ranks), dense_ranks)
 
 
+def test_sharded_ranker_accepts_unpadded_params(data, setup):
+    """The ranker must also take CANONICAL (unpadded) params — the final
+    best-checkpoint reload path — and pad internally."""
+    model, params = setup
+    mesh = make_mesh((2, 4))
+    pack = data.eval_pack("test", "rhs")
+    dense_ranks = get_ranking(model, params, pack, batch_size=16)
+    ranker = make_sharded_ranker(model, mesh, N_ENT)
+    r = np.asarray(ranker(params, jnp.asarray(pack.queries),
+                          jnp.asarray(pack.filter_idx)))
+    np.testing.assert_array_equal(r, dense_ranks)
+
+
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
 def test_model_axis_training_matches_single_device(data, setup, mesh_shape):
     """Training with the entity table ROW-SHARDED over 'model' (the tp/sp
     axis) must match single-device training: GSPMD keeps the scanned epoch +
-    optimizer state correct under sharded gathers/scatter-adds."""
+    optimizer state correct under sharded gathers/scatter-adds.  At the odd
+    N_ENT the tables are zero-padded; the padded rows must stay zero and the
+    real rows must match the unpadded run exactly."""
     model, params = setup
     n_ent, n_rel, _ = data.get_shape()
     tcfg = TrainConfig(learning_rate=0.05, batch_size=64, neg_sample_size=8)
@@ -117,10 +147,15 @@ def test_model_axis_training_matches_single_device(data, setup, mesh_shape):
     mesh = make_mesh(mesh_shape)
     sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
     assert sp["entity"].sharding.spec[0] == "model"  # really row-sharded
+    assert sp["entity"].shape[0] == padded_rows(N_ENT, mesh_shape[1])
     sb, sw, _ = shard_epoch_arrays(mesh, jnp.asarray(b), jnp.asarray(w))
     p2, _, loss2 = trainer.run_epoch(sp, trainer.tx.init(sp), sb, sw, key)
 
     np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    # pad rows must remain exactly zero (no gradient may reach them)
+    for k in ("entity", "bh", "bt"):
+        assert not np.asarray(p2[k][N_ENT:]).any(), k
+    p2 = _unpad(p2, mesh)
     for (k, a), (_, c) in zip(sorted(p1.items()), sorted(p2.items())):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), atol=1e-6, err_msg=k
@@ -150,19 +185,60 @@ def test_pool_mode_training_on_mesh_matches_single_device(data, setup):
     p2, _, loss2 = trainer.run_epoch(sp, trainer.tx.init(sp), sb, sw, key)
 
     np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    p2 = _unpad(p2, mesh)
     for (k, a), (_, c) in zip(sorted(p1.items()), sorted(p2.items())):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), atol=1e-6, err_msg=k
         )
 
 
-def test_gnn_training_on_mesh_matches_single_device(data):
+def test_crossentropy_training_on_mesh_matches_single_device(data, setup):
+    """All-entity CE on a (2,4) mesh with a PADDED entity table: score_all
+    emits pad columns which the loss must mask (train/losses.py::
+    _pad_col_mask) — loss and updated real rows must match single-device.
+    SGD: under CE the per-row head bias cancels in softmax, so bh's gradient
+    is pure rounding noise — Adam would amplify differently-rounded noise to
+    full ±lr steps (the repo-wide trajectory-parity rule)."""
+    model, params = setup
+    n_ent, n_rel, _ = data.get_shape()
+    tcfg = TrainConfig(learning_rate=0.001, batch_size=64, neg_sample_size=0,
+                       loss="crossentropy", smoothing=0.1, optimizer="SGD")
+    trainer = Trainer(model, tcfg, n_ent, n_rel)
+
+    ex = data.get_examples("train")
+    b, w, _ = epoch_batches(ex, tcfg.batch_size, np.random.default_rng(0))
+    key = jax.random.PRNGKey(42)
+
+    p1, _, loss1 = trainer.run_epoch(
+        jax.tree.map(jnp.copy, params), trainer.tx.init(params), b, w, key
+    )
+    mesh = make_mesh((2, 4))
+    sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    sb, sw, _ = shard_epoch_arrays(mesh, jnp.asarray(b), jnp.asarray(w))
+    p2, _, loss2 = trainer.run_epoch(sp, trainer.tx.init(sp), sb, sw, key)
+
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    for k in ("entity", "bh", "bt"):
+        assert not np.asarray(p2[k][N_ENT:]).any(), k
+    p2 = _unpad(p2, mesh)
+    for (k, a), (_, c) in zip(sorted(p1.items()), sorted(p2.items())):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-5, atol=2e-6, err_msg=k
+        )
+
+
+def test_gnn_training_on_mesh_matches_single_device():
     """CompGCN (full-graph encoder: segment-sum message passing) trained on a
     (4,2) mesh with sharded params/batches must match single-device training —
     GSPMD must handle the encoder's gathers/segment-sums over the row-sharded
     entity table.  (The CLI permits --mesh for GNN models; this is the test
-    behind that.)"""
-    n_ent, n_rel, _ = data.get_shape()
+    behind that.)  Uses its own 48-entity KG: GNN entity tables are only
+    row-sharded when divisible — padding would shift the encoder's
+    batch-norm statistics, so shard_params(pad=False) replicates instead
+    (see test_gnn_odd_entities_replicates below)."""
+    data48 = synthetic_kg(n_entities=48, n_relations=4, n_train=256,
+                          n_valid=32, n_test=32, seed=3)
+    n_ent, n_rel, _ = data48.get_shape()
     cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
                       multi_c=True, dtype="float32")
 
@@ -170,6 +246,46 @@ def test_gnn_training_on_mesh_matches_single_device(data):
         hidden_dim = 8
         layers = 2
         edge_dropout = 0.0  # dropout keys must line up; keep it deterministic
+        dropout = 0.0
+        opn = "mult"
+        interaction = "distmult"
+        basis = 0
+
+    model = get_model("CompGCN")(cfg, _Args(), data48)
+    params = model.init(jax.random.PRNGKey(0))
+    tcfg = TrainConfig(learning_rate=0.05, batch_size=64, neg_sample_size=8)
+    trainer = Trainer(model, tcfg, n_ent, n_rel)
+
+    ex = data48.get_examples("train")
+    b, w, _ = epoch_batches(ex, tcfg.batch_size, np.random.default_rng(0))
+    key = jax.random.PRNGKey(42)
+
+    p1, _, loss1 = trainer.run_epoch(
+        jax.tree.map(jnp.copy, params), trainer.tx.init(params), b, w, key
+    )
+    mesh = make_mesh((4, 2))
+    sp = shard_params(jax.tree.map(jnp.copy, params), mesh, pad=False)
+    sb, sw, _ = shard_epoch_arrays(mesh, jnp.asarray(b), jnp.asarray(w))
+    p2, _, loss2 = trainer.run_epoch(sp, trainer.tx.init(sp), sb, sw, key)
+
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
+def test_gnn_odd_entities_replicates(data):
+    """GNN models at an odd entity count: shard_params(pad=False) must fall
+    back to REPLICATING the entity tables (pad rows would corrupt full-graph
+    batch-norm statistics), and mesh training must still match
+    single-device."""
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, dtype="float32")
+
+    class _Args:
+        hidden_dim = 8
+        layers = 1
+        edge_dropout = 0.0
         dropout = 0.0
         opn = "mult"
         interaction = "distmult"
@@ -188,7 +304,9 @@ def test_gnn_training_on_mesh_matches_single_device(data):
         jax.tree.map(jnp.copy, params), trainer.tx.init(params), b, w, key
     )
     mesh = make_mesh((4, 2))
-    sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    sp = shard_params(jax.tree.map(jnp.copy, params), mesh, pad=False)
+    assert sp["entity"].shape[0] == N_ENT  # replicated, NOT padded
+    assert sp["entity"].sharding.spec == ()
     sb, sw, _ = shard_epoch_arrays(mesh, jnp.asarray(b), jnp.asarray(w))
     p2, _, loss2 = trainer.run_epoch(sp, trainer.tx.init(sp), sb, sw, key)
 
@@ -199,11 +317,15 @@ def test_gnn_training_on_mesh_matches_single_device(data):
 
 def test_cli_with_mesh(tmp_path):
     """Full CLI protocol with --mesh 4x2 on the virtual 8-device mesh
-    (DP-sharded training batches + entity-sharded shard_map eval)."""
+    (DP-sharded training batches + entity-sharded shard_map eval over an
+    odd synthetic entity count), and the written checkpoint must carry
+    CANONICAL (unpadded) shapes."""
     from complexhyperbolickge_tpu.cli.run import build_parser, train
+    from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint
 
     args = build_parser().parse_args([
-        "--dataset", "synthetic", "--model", "FFTRotH", "--rank", "5",
+        "--dataset", "synthetic", "--synthetic_entities", "199",
+        "--model", "FFTRotH", "--rank", "5",
         "--max_epochs", "1", "--valid", "1", "--batch_size", "128",
         "--eval_batch_size", "64", "--neg_sample_size", "8",
         "--optimizer", "Adam", "--learning_rate", "0.01", "--bias", "learn",
@@ -212,6 +334,9 @@ def test_cli_with_mesh(tmp_path):
     ])
     out = train(args)
     assert 0.0 <= out["test"]["MRR"] <= 1.0
+    st = load_checkpoint(str(tmp_path), device_put=False)
+    for k in ("entity", "bh", "bt"):
+        assert st["params"][k].shape[0] == 199, k  # canonical, not 200-padded
 
 
 def test_sharded_ranker_lhs_direction(data, setup):
