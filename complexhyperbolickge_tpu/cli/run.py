@@ -335,10 +335,13 @@ def train(args) -> dict:
 
     if mesh is not None and mesh.shape["model"] > 1 \
             and not getattr(model, "is_gnn", False):
-        from complexhyperbolickge_tpu.parallel import make_sharded_ranker
+        from complexhyperbolickge_tpu.parallel import make_best_sharded_ranker
 
-        # odd entity counts are handled inside the ranker (zero-pad + mask)
-        rank_fn = make_sharded_ranker(model, mesh, sizes[0])
+        # odd entity counts are handled inside the ranker (zero-pad + mask);
+        # CHYP models on TPU get the fused Pallas kernel per shard
+        rank_fn = make_best_sharded_ranker(
+            model, mesh, sizes[0], getattr(args, "eval_backend", "auto")
+        )
     else:
         rank_fn = make_best_ranker(model, args.eval_batch_size,
                                    getattr(args, "eval_backend", "auto"))

@@ -7,4 +7,8 @@ from complexhyperbolickge_tpu.parallel.mesh import (  # noqa: F401
     shard_params,
     unpad_entity_tree,
 )
-from complexhyperbolickge_tpu.parallel.ranking import make_sharded_ranker  # noqa: F401
+from complexhyperbolickge_tpu.parallel.ranking import (  # noqa: F401
+    make_best_sharded_ranker,
+    make_sharded_pallas_ranker,
+    make_sharded_ranker,
+)

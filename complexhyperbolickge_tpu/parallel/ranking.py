@@ -155,3 +155,161 @@ def make_sharded_ranker(model, mesh, n_entities: int):
 
     ranker.rank_many = lambda params, qb, fb: _rank_many(_tables(params), qb, fb)
     return ranker
+
+
+def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
+                               interpret: bool = False):
+    """Entity-sharded ranking with the FUSED Pallas tile kernel per shard.
+
+    Composes the two wins: each model-axis shard sweeps its LOCAL slice of
+    the entity table with kernels/chyp_rank.py::chyp_rank_counts (score
+    matrix never leaves VMEM; 1.6-1.7x the dense XLA sweep on one chip,
+    benchmarks/eval_bench.py) and one psum combines the per-shard counts —
+    so multi-chip eval no longer forfeits the single-chip kernel speedup.
+
+    CHYP-family (FFTUnitBall) models only.  Table layout: entity rows padded
+    to n_shards * local_np (local_np a tile_n multiple) with bt = -1e30 pad
+    rows (unreachable by any threshold — the same trick as the single-device
+    kernel); features zero-padded to a lane multiple (exact for the
+    Hermitian form).  Ranks are exactly the single-device Pallas masked
+    ranker's: the per-tile contraction is identical, counts are
+    order-independent sums.
+    """
+    from complexhyperbolickge_tpu.kernels.chyp_rank import chyp_rank_counts
+    from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
+    from complexhyperbolickge_tpu.ops.chyperbolic import chyp_distance, swap_neg
+    from complexhyperbolickge_tpu.ops.math import ball_eps, round_up
+
+    assert isinstance(model, FFTUnitBall), "Pallas ranker is CHYP-family only"
+    assert model.cfg.bias in ("learn", "none", "constant")
+    n_shards = mesh.shape["model"]
+    local_np = round_up(-(-n_entities // n_shards), tile_n)
+    np_ = local_np * n_shards
+    d = model.param_specs()["entity"][0][1]
+    dp = round_up(d, 128)
+    eps = float(ball_eps(jnp.float32))
+    other = [k for k in model.param_specs() if k not in _ENTITY_PARAMS]
+
+    def _prep(params):
+        """Padded f32 tables: (np_, dp) entity rows + (1, np_) tail biases."""
+        ent = params["entity"].astype(jnp.float32)
+        n = ent.shape[0]  # may exceed n_entities (mesh-padded training)
+        rhs = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(ent[:, :d])
+        bt = params["bt"][:, 0].astype(jnp.float32)
+        if model.cfg.bias != "learn":
+            bt = jnp.zeros_like(bt)
+        bt_row = jnp.full((1, np_), -1e30, jnp.float32)
+        bt_row = bt_row.at[0, :min(n, n_entities)].set(bt[:n_entities])
+        rest = {k: params[k] for k in other}
+        return rhs, bt_row, rest
+
+    prep_jit = jax.jit(_prep, out_shardings=(
+        NamedSharding(mesh, P("model", None)),
+        NamedSharding(mesh, P(None, "model")),
+        {k: NamedSharding(mesh, P()) for k in other},
+    ))
+
+    def local_rank(rhs_local, bt_local, rest, q, fidx):
+        shard_idx = jax.lax.axis_index("model")
+        lo = shard_idx * local_np
+        b = q.shape[0]
+
+        # head rows + gold-tail rows from the sharded padded table (real ids
+        # only — features beyond d are zero pad, slice them off)
+        heads = _gather_rows_sharded(rhs_local, q[:, 0], lo, local_np)[:, :d]
+        gold = _gather_rows_sharded(rhs_local, q[:, 2], lo, local_np)[:, :d]
+
+        # query chain on a dense (B, D) mini-table; bh is irrelevant — the
+        # lhs bias cancels between score and threshold (see t2 below)
+        q_local = jnp.stack([jnp.arange(b, dtype=q.dtype), q[:, 1]], axis=1)
+        mini = {**rest, "entity": heads,
+                "bh": jnp.zeros((b, 1), heads.dtype)}
+        (lhs,), _ = model.get_queries(mini, q_local)
+        lhs = lhs.astype(jnp.float32)
+
+        lhs2_raw = jnp.concatenate([lhs, swap_neg(lhs)], axis=0)  # (2B, d)
+        lhs2 = jnp.zeros((2 * b, dp), jnp.float32).at[:, :d].set(lhs2_raw)
+        znorm = jnp.clip(
+            jnp.sum(lhs * lhs, axis=-1, keepdims=True) - 1.0, -1.0, -eps
+        )
+
+        # threshold: gold score minus the (shared) lhs bias — kernel tiles
+        # carry bt on their side, so lhs_b cancels (kernels/chyp_rank.py)
+        d_gold = chyp_distance(lhs, gold.astype(jnp.float32))[:, None]
+        t2 = -(d_gold**2)
+        if model.cfg.bias == "learn":
+            bt_gold_local = bt_local[0]  # (local_np,)
+            loc = q[:, 2] - lo
+            owns = (loc >= 0) & (loc < local_np)
+            safe = jnp.clip(loc, 0, local_np - 1)
+            btg = jnp.where(owns, bt_gold_local[safe], 0.0)
+            t2 = t2 + jax.lax.psum(btg, axis_name="model")[:, None]
+
+        # local filter mask (pad rows need none: bt=-1e30 is unreachable);
+        # ids owned elsewhere remap to local_np -> dropped (positive OOB)
+        rows = jnp.arange(b)[:, None]
+        f = fidx.astype(jnp.int32)
+        f_local = jnp.where((f >= lo) & (f < lo + local_np), f - lo, local_np)
+        mask = jnp.zeros((b, local_np), jnp.int8)
+        mask = mask.at[rows, f_local].set(1, mode="drop")
+
+        counts = chyp_rank_counts(
+            lhs2, znorm, t2, rhs_local, bt_local, mask,
+            tile_n=tile_n, interpret=interpret,
+        )
+        return 1.0 + jax.lax.psum(counts, axis_name="model")
+
+    fn = jax.shard_map(
+        local_rank, mesh=mesh,
+        in_specs=(P("model", None), P(None, "model"),
+                  {k: P() for k in other}, P(), P()),
+        out_specs=P(), check_vma=False,
+    )
+    jit_fn = jax.jit(fn)
+
+    @jax.jit
+    def _rank_many(rhs, bt_row, rest, qb, fb):
+        return jax.lax.map(lambda x: fn(rhs, bt_row, rest, *x), (qb, fb))
+
+    cache = {"src": None, "tables": None}
+
+    def _tables(params):
+        if cache["src"] is not params:
+            cache["src"], cache["tables"] = params, prep_jit(params)
+        return cache["tables"]
+
+    def ranker(params, q, fidx):
+        return jit_fn(*_tables(params), q, fidx)
+
+    ranker.rank_many = lambda params, qb, fb: _rank_many(*_tables(params), qb, fb)
+    return ranker
+
+
+def make_best_sharded_ranker(model, mesh, n_entities: int,
+                             backend: str = "auto"):
+    """Sharded-ranker analogue of train/evaluate.py::make_best_ranker: the
+    fused Pallas path for CHYP models (on TPU, or interpret-mode when forced
+    with backend='pallas'), else the dense shard_map ranker.  Failures are
+    LOUD: backend='pallas' re-raises; 'auto' warns before degrading."""
+    if backend in ("auto", "pallas"):
+        try:
+            from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
+            from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
+
+            on_tpu = is_tpu_backend()
+            want = on_tpu or backend == "pallas"
+            if isinstance(model, FFTUnitBall) and want:
+                return make_sharded_pallas_ranker(
+                    model, mesh, n_entities, interpret=not on_tpu
+                )
+        except Exception as e:
+            if backend == "pallas":
+                raise
+            import logging
+
+            logging.warning(
+                "sharded Pallas ranker unavailable for %s (%s: %s); falling "
+                "back to the dense shard_map ranker",
+                type(model).__name__, type(e).__name__, e,
+            )
+    return make_sharded_ranker(model, mesh, n_entities)

@@ -339,6 +339,69 @@ def test_cli_with_mesh(tmp_path):
         assert st["params"][k].shape[0] == 199, k  # canonical, not 200-padded
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (4, 2)])
+def test_sharded_pallas_ranker_matches_dense(data, setup, mesh_shape):
+    """The fused Pallas tile kernel run PER SHARD inside shard_map (interpret
+    mode on the CPU mesh) + one count psum must reproduce dense filtered
+    ranks exactly — multi-chip eval keeps the single-chip kernel win."""
+    from complexhyperbolickge_tpu.parallel import make_sharded_pallas_ranker
+
+    model, params = setup
+    mesh = make_mesh(mesh_shape)
+    pack = data.eval_pack("test", "rhs")
+    dense_ranks = get_ranking(model, params, pack, batch_size=16)
+
+    ranker = make_sharded_pallas_ranker(model, mesh, N_ENT, tile_n=8,
+                                        interpret=True)
+    sp = shard_params(params, mesh)
+    r = np.asarray(ranker(sp, jnp.asarray(pack.queries),
+                          jnp.asarray(pack.filter_idx)))
+    np.testing.assert_array_equal(r, dense_ranks)
+
+
+def test_sharded_pallas_ranker_rank_many_and_unpadded(data, setup):
+    """rank_many (whole-split scan form) + canonical unpadded params through
+    the sharded Pallas ranker; also the lhs direction."""
+    from complexhyperbolickge_tpu.parallel import make_sharded_pallas_ranker
+
+    model, params = setup
+    mesh = make_mesh((2, 4))
+    ranker = make_sharded_pallas_ranker(model, mesh, N_ENT, tile_n=8,
+                                        interpret=True)
+    for direction in ("rhs", "lhs"):
+        pack = data.eval_pack("test", direction)
+        dense_ranks = get_ranking(model, params, pack, batch_size=16)
+        nb = len(pack.queries) // 16
+        qb = jnp.asarray(pack.queries[: nb * 16].reshape(nb, 16, 3))
+        fb = jnp.asarray(
+            pack.filter_idx[: nb * 16].reshape(nb, 16, -1)
+        )
+        r = np.asarray(ranker.rank_many(params, qb, fb)).reshape(-1)
+        np.testing.assert_array_equal(r, dense_ranks[: nb * 16])
+
+
+def test_make_best_sharded_ranker_selects(data, setup):
+    from complexhyperbolickge_tpu.parallel import make_best_sharded_ranker
+
+    model, params = setup
+    mesh = make_mesh((2, 4))
+    # backend='pallas' forces the fused path even off-TPU (interpret mode)
+    ranker = make_best_sharded_ranker(model, mesh, N_ENT, backend="pallas")
+    pack = data.eval_pack("test", "rhs")
+    dense_ranks = get_ranking(model, params, pack, batch_size=16)
+    r = np.asarray(ranker(shard_params(params, mesh),
+                          jnp.asarray(pack.queries),
+                          jnp.asarray(pack.filter_idx)))
+    np.testing.assert_array_equal(r, dense_ranks)
+    # dense backend returns the plain shard_map ranker
+    dense_backend = make_best_sharded_ranker(model, mesh, N_ENT,
+                                             backend="dense")
+    r2 = np.asarray(dense_backend(shard_params(params, mesh),
+                                  jnp.asarray(pack.queries),
+                                  jnp.asarray(pack.filter_idx)))
+    np.testing.assert_array_equal(r2, dense_ranks)
+
+
 def test_sharded_ranker_lhs_direction(data, setup):
     model, params = setup
     mesh = make_mesh((2, 4))
