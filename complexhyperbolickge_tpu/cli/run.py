@@ -124,6 +124,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "save_dir must be a SHARED filesystem: process 0 "
                         "writes checkpoints, all processes read them after "
                         "a barrier")
+    p.add_argument("--coordinator", default=None,
+                   help="--distributed without a cluster manager: coordinator "
+                        "host:port (else JAX_COORDINATOR_ADDRESS / "
+                        "SLURM-style auto-detection)")
+    p.add_argument("--num_processes", default=None, type=int,
+                   help="--distributed: total process count (else "
+                        "auto-detected from the cluster environment)")
+    p.add_argument("--process_id", default=None, type=int,
+                   help="--distributed: this process's id (else auto)")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax profiler trace of one epoch here")
     p.add_argument("--debug_nans", action="store_true",
@@ -218,7 +227,11 @@ def build_model(args, dataset: KGData):
 def train(args) -> dict:
     if getattr(args, "distributed", False):
         # must run before any backend-initializing jax call
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=getattr(args, "coordinator", None),
+            num_processes=getattr(args, "num_processes", None),
+            process_id=getattr(args, "process_id", None),
+        )
     save_dir = args.save_dir
     os.makedirs(save_dir, exist_ok=True)
     setup_logging(save_dir)
@@ -307,7 +320,15 @@ def train(args) -> dict:
                     if x.shape != ref.shape:
                         x = np.pad(x, [(0, r - s)
                                        for s, r in zip(x.shape, ref.shape)])
-                    return jax.device_put(x, ref.sharding)
+                    if isinstance(ref.sharding, jax.sharding.NamedSharding):
+                        return jax.device_put(x, ref.sharding)
+                    # non-mesh leaves (e.g. the optimizer step counter) stay
+                    # UNCOMMITTED like tx.init leaves them — committing to a
+                    # single local device breaks multi-process jit, whose
+                    # other args live on the global mesh
+                    import jax.numpy as jnp
+
+                    return jnp.asarray(x)
 
                 st["params"] = jax.tree.map(_fit, st["params"], params)
                 st["opt_state"] = jax.tree.map(_fit, st["opt_state"], opt_state)

@@ -46,7 +46,16 @@ def make_mesh(shape=None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if shape is None:
         shape = (len(devices), 1)
-    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    # DCN granule = TPU slice when the platform reports one; otherwise the
+    # PROCESS boundary (multi-process CPU/GPU: cross-process traffic is the
+    # network, exactly what the outer 'data' axis should absorb)
+    has_slices = any(getattr(d, "slice_index", None) is not None
+                     for d in devices)
+    if has_slices:
+        granules = {getattr(d, "slice_index", 0) for d in devices}
+    else:
+        granules = {d.process_index for d in devices}
+    n_slices = len(granules)
     if n_slices > 1:
         if shape[0] % n_slices != 0:
             # user-config validation: must survive `python -O` (no assert)
@@ -58,6 +67,7 @@ def make_mesh(shape=None, devices=None) -> Mesh:
             mesh_shape=(shape[0] // n_slices, shape[1]),
             dcn_mesh_shape=(n_slices, 1),
             devices=devices,
+            process_is_granule=not has_slices,
         )
     else:
         dev_mesh = mesh_utils.create_device_mesh(
