@@ -61,11 +61,57 @@ def _stub_torch_geometric():
         sys.modules[name] = mod
 
 
+def _stub_torch_scatter():
+    """Faithful pure-torch stand-in for the two torch_scatter entry points
+    the reference uses (scatter with reduce='sum'/'mean'/'max', scatter_add;
+    messagepassing.py:5,34,86 / hyperbolicgnn convs) — enables EXECUTING the
+    reference GNN convs for numeric parity (round-2 verdict item 4; the real
+    torch_scatter binary is absent in this image).  Only installed when the
+    real package is absent."""
+    if "torch_scatter" in sys.modules:
+        return
+    if importlib.util.find_spec("torch_scatter") is not None:
+        return
+    import torch
+
+    def scatter(src, index, dim=0, out=None, dim_size=None, reduce="sum"):
+        assert dim == 0 and out is None, "reference only uses dim=0, out=None"
+        index = index.long()
+        if dim_size is None:
+            dim_size = int(index.max().item()) + 1 if index.numel() else 0
+        shape = (dim_size,) + tuple(src.shape[1:])
+        if reduce in ("sum", "add"):
+            return torch.zeros(shape, dtype=src.dtype).index_add_(0, index, src)
+        if reduce == "mean":
+            s = torch.zeros(shape, dtype=src.dtype).index_add_(0, index, src)
+            ones = torch.ones(index.shape[0], dtype=src.dtype)
+            cnt = torch.zeros(dim_size, dtype=src.dtype).index_add_(0, index, ones)
+            return s / cnt.clamp(min=1).reshape(-1, *([1] * (src.dim() - 1)))
+        if reduce == "max":
+            out = torch.full(shape, float("-inf"), dtype=src.dtype)
+            out.index_reduce_(0, index, src, "amax", include_self=True)
+            out[out == float("-inf")] = 0
+            return out
+        raise ValueError(f"unsupported reduce {reduce!r}")
+
+    def scatter_add(src, index, dim=0, out=None, dim_size=None):
+        return scatter(src, index, dim=dim, out=out, dim_size=dim_size,
+                       reduce="sum")
+
+    mod = types.ModuleType("torch_scatter")
+    mod.scatter = scatter
+    mod.scatter_add = scatter_add
+    sys.modules["torch_scatter"] = mod
+
+
 def load(name: str):
     """Import e.g. 'utils.hyperbolic' or 'models.complexhyperbolic'."""
     _ensure_stub_packages()
     if name.startswith("datasets."):
         _stub_torch_geometric()
+    if "gnn" in name or name in ("models.messagepassing", "models.mlp"):
+        _stub_torch_scatter()
+        _stub_torch_geometric()  # gnnbase imports datasets.kg_dataset
     return importlib.import_module(name)
 
 

@@ -1,0 +1,429 @@
+"""Numeric parity of the GNN convs against the EXECUTED reference.
+
+The reference GNN stack needs torch_scatter, whose binary is absent in this
+image; tests/reference_loader.py now stubs its two entry points with pure
+torch (index_add_), so the actual reference conv equations
+(euclideangnn.py:16-101, poincaregnn.py:19-294, lorentzgnn.py:18-232) run
+here in float64 and the JAX convs are checked against them with injected
+identical weights — closing round-2 verdict item 4 (previously the conv
+math had only closed-form degree-norm checks + descent smoke tests).
+
+Graph construction notes:
+  * [forward; inverse]-ALIGNED edge layout for the reference (its
+    positional in/out split and LorentzConv's positional type-swap pairing
+    require it); the JAX convs get each half sorted by receiving node
+    (their declared layout, models.py::GNNModel).
+  * per-half head degrees are powers of two where the norm is 1/deg, so the
+    reference's float32 degree norms (messagepassing.py:83 `.float()`) are
+    exact and don't pollute the f64 comparison.  The symmetric norm
+    (Poincare) has odd degrees under the +1 term, so its tolerance absorbs
+    a float32 rounding of the norm (~1e-8 relative).
+  * PoincareConv parity keeps b_rel2 = 0 (its reference init): the
+    reference applies that bias with the UN-softplused curvature
+    (poincaregnn.py:77) — a documented divergence (convs.py) that zero
+    bias makes inactive.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from complexhyperbolickge_tpu.models.gnn import convs as C
+from complexhyperbolickge_tpu.models.gnn.models import _tanh
+
+from tests.reference_loader import load, make_args
+
+N_ENT = 12  # nodes 10, 11 isolated (exercise the zero-degree branches)
+HALF_REL = 3
+N_REL = 2 * HALF_REL
+# forward edges (receiver h, source t, type r); per-half head degrees are
+# powers of two: h-degrees 4,2,2,1,1 and t-degrees all 2
+_FWD_H = np.array([0, 0, 0, 0, 1, 1, 2, 2, 3, 4])
+_FWD_T = np.array([5, 5, 6, 6, 7, 7, 8, 8, 9, 9])
+_FWD_R = np.array([0, 1, 2, 0, 1, 2, 0, 1, 2, 0])
+
+
+def _edges_aligned():
+    """Reference layout: [forward; inverse], halves edge-aligned."""
+    head = np.concatenate([_FWD_H, _FWD_T])
+    tail = np.concatenate([_FWD_T, _FWD_H])
+    etype = np.concatenate([_FWD_R, _FWD_R + HALF_REL])
+    return head, tail, etype
+
+
+def _edges_sorted_halves():
+    """JAX conv layout: each half independently sorted by receiving node."""
+    head, tail, etype = _edges_aligned()
+    e = head.shape[0]
+    half = e // 2
+    out = []
+    for sl in (slice(0, half), slice(half, e)):
+        perm = np.argsort(head[sl], kind="stable")
+        out.append((head[sl][perm], tail[sl][perm], etype[sl][perm]))
+    (h1, t1, r1), (h2, t2, r2) = out
+    return (np.concatenate([h1, h2]), np.concatenate([t1, t2]),
+            np.concatenate([r1, r2]))
+
+
+def t2n(t):
+    return np.array(t.detach().numpy(), copy=True)
+
+
+def _randomize(params, rng, skip=()):
+    with torch.no_grad():
+        for name, p in params:
+            if name in skip:
+                continue
+            p.copy_(torch.from_numpy(
+                rng.uniform(-0.6, 0.6, tuple(p.shape))
+            ).to(p.dtype))
+
+
+# ------------------------------- CompGCN -------------------------------------
+
+
+def _build_compgcn_pair(opn, d_in, d_out, rng, act_ref, act_mine):
+    mod = load("models.euclideangnn")
+    conv = mod.CompGCNConv(
+        opn=opn, in_channels=d_in, out_channels=d_out,
+        in_channels_r=d_in, out_channels_r=d_out,
+        act=act_ref, dropout=0.0, dtype="double",
+    ).double()
+    _randomize(
+        [("w_loop", conv.w_loop), ("w_in", conv.w_in), ("w_out", conv.w_out),
+         ("w_rel", conv.w_rel.weight), ("loop_rel", conv.loop_rel),
+         ("bn_w", conv.bn.weight), ("bn_b", conv.bn.bias)],
+        rng,
+    )
+    mine = C.CompGCNConv(d_in, d_out, d_in, d_out, act=act_mine,
+                         dropout=0.0, opn=opn)
+    p = {
+        "w_loop": jnp.asarray(t2n(conv.w_loop)),
+        "w_in": jnp.asarray(t2n(conv.w_in)),
+        "w_out": jnp.asarray(t2n(conv.w_out)),
+        "w_rel": jnp.asarray(t2n(conv.w_rel.weight).T),
+        "loop_rel": jnp.asarray(t2n(conv.loop_rel)),
+        "bn_scale": jnp.asarray(t2n(conv.bn.weight)),
+        "bn_bias": jnp.asarray(t2n(conv.bn.bias)),
+    }
+    return conv, mine, p
+
+
+@pytest.mark.parametrize("opn", ["add", "mult"])
+def test_compgcn_conv_matches_executed_reference(opn):
+    rng = np.random.default_rng(7)
+    d_in, d_out = 6, 8
+    ref_tanh = load("utils.hyperbolic").tanh
+    conv, mine, p = _build_compgcn_pair(opn, d_in, d_out, rng,
+                                        act_ref=ref_tanh, act_mine=_tanh)
+
+    x = rng.normal(0, 0.5, (N_ENT, d_in))
+    rel = rng.normal(0, 0.5, (N_REL, d_in))
+
+    h_a, t_a, r_a = _edges_aligned()
+    edge_index = torch.from_numpy(np.stack([h_a, t_a])).long()
+    out_ref, rel_ref = conv(
+        torch.from_numpy(x), edge_index, torch.from_numpy(r_a).long(),
+        torch.from_numpy(rel),
+    )
+
+    h_s, t_s, r_s = _edges_sorted_halves()
+    out_my, rel_my = mine.apply(
+        p, jnp.asarray(x), (jnp.asarray(h_s), jnp.asarray(t_s),
+                            jnp.asarray(r_s)),
+        jnp.asarray(rel), jnp.ones((h_s.shape[0],), jnp.float64),
+    )
+    # per-half degree norms are exact powers of two -> only f64 association
+    # noise remains
+    np.testing.assert_allclose(np.asarray(out_my), t2n(out_ref),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rel_my), t2n(rel_ref),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_compgcn_two_layer_stack_matches_executed_reference():
+    """2-layer CompGCNBase stack (messagepassing.py:118-215 wiring: act
+    between layers, act_r identity, last layer act-free)."""
+    rng = np.random.default_rng(11)
+    d, h = 6, 8
+    ref_tanh = load("utils.hyperbolic").tanh
+    mod = load("models.euclideangnn")
+    base = mod.CompGCNBase(
+        opn="mult", in_channels=d, hidden_channels=h, out_channels=h,
+        in_channels_r=d, hidden_channels_r=h, out_channels_r=h,
+        layers=2, act=ref_tanh, act_r=torch.nn.Identity(),
+        mp=mod.CompGCNConv, dropout=0.0, dtype="double",
+    ).double()
+
+    my_layers, my_params = [], []
+    for i, layer in enumerate(base.layers):
+        _randomize(
+            [("w_loop", layer.w_loop), ("w_in", layer.w_in),
+             ("w_out", layer.w_out), ("w_rel", layer.w_rel.weight),
+             ("loop_rel", layer.loop_rel), ("bn_w", layer.bn.weight),
+             ("bn_b", layer.bn.bias)],
+            rng,
+        )
+        last = i == len(base.layers) - 1
+        my_layers.append(C.CompGCNConv(
+            layer.in_channels, layer.out_channels, layer.in_channels_r,
+            layer.out_channels_r, act=None if last else _tanh,
+            dropout=0.0, opn="mult",
+        ))
+        my_params.append({
+            "w_loop": jnp.asarray(t2n(layer.w_loop)),
+            "w_in": jnp.asarray(t2n(layer.w_in)),
+            "w_out": jnp.asarray(t2n(layer.w_out)),
+            "w_rel": jnp.asarray(t2n(layer.w_rel.weight).T),
+            "loop_rel": jnp.asarray(t2n(layer.loop_rel)),
+            "bn_scale": jnp.asarray(t2n(layer.bn.weight)),
+            "bn_bias": jnp.asarray(t2n(layer.bn.bias)),
+        })
+
+    x = rng.normal(0, 0.5, (N_ENT, d))
+    rel = rng.normal(0, 0.5, (N_REL, d))
+
+    h_a, t_a, r_a = _edges_aligned()
+    out_ref, rel_ref = base(
+        torch.from_numpy(x),
+        torch.from_numpy(np.stack([h_a, t_a])).long(),
+        torch.from_numpy(r_a).long(), torch.from_numpy(rel),
+    )
+
+    h_s, t_s, r_s = _edges_sorted_halves()
+    edges = (jnp.asarray(h_s), jnp.asarray(t_s), jnp.asarray(r_s))
+    ew = jnp.ones((h_s.shape[0],), jnp.float64)
+    xm, rm = jnp.asarray(x), jnp.asarray(rel)
+    for layer, p in zip(my_layers, my_params):
+        xm, rm = layer.apply(p, xm, edges, rm, ew)
+        # act_r identity; drop_in_between with dropout 0 is a no-op
+    np.testing.assert_allclose(np.asarray(xm), t2n(out_ref),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(rm), t2n(rel_ref),
+                               rtol=1e-10, atol=1e-12)
+
+
+# ------------------------------ PoincareConv ---------------------------------
+
+
+def _hyp_conv_params(conv, rng, skip=("b_rel2",)):
+    """Randomize + extract the shared Poincare/Lorentz conv parameter set."""
+    _randomize(
+        [("w_loop", conv.w_loop), ("w_in", conv.w_in), ("w_out", conv.w_out),
+         ("b_loop", conv.b_loop), ("b_in", conv.b_in), ("b_out", conv.b_out),
+         ("w_rel_w", conv.w_rel.weight), ("w_rel_b", conv.w_rel.bias),
+         ("b_rel1", conv.b_rel1), ("b_rel2", conv.b_rel2),
+         ("loop_curvature", conv.loop_curvature),
+         ("loop_weight", conv.loop_weight),
+         ("mlp0_w", conv.mlp_curvature.layers[0].weight),
+         ("mlp0_b", conv.mlp_curvature.layers[0].bias),
+         ("mlp1_w", conv.mlp_curvature.layers[1].weight),
+         ("mlp1_b", conv.mlp_curvature.layers[1].bias)],
+        rng, skip=skip,
+    )
+    return {
+        "w_loop": jnp.asarray(t2n(conv.w_loop)[0]),
+        "w_in": jnp.asarray(t2n(conv.w_in)[0]),
+        "w_out": jnp.asarray(t2n(conv.w_out)[0]),
+        "b_loop": jnp.asarray(t2n(conv.b_loop)),
+        "b_in": jnp.asarray(t2n(conv.b_in)),
+        "b_out": jnp.asarray(t2n(conv.b_out)),
+        "w_rel": {"w": jnp.asarray(t2n(conv.w_rel.weight).T),
+                  "b": jnp.asarray(t2n(conv.w_rel.bias))},
+        "b_rel1": jnp.asarray(t2n(conv.b_rel1)),
+        "b_rel2": jnp.asarray(t2n(conv.b_rel2)),
+        "loop_curvature": jnp.asarray(t2n(conv.loop_curvature)),
+        "loop_weight": jnp.asarray(t2n(conv.loop_weight)),
+        "mlp_curvature": [
+            {"w": jnp.asarray(t2n(conv.mlp_curvature.layers[0].weight).T),
+             "b": jnp.asarray(t2n(conv.mlp_curvature.layers[0].bias))},
+            {"w": jnp.asarray(t2n(conv.mlp_curvature.layers[1].weight).T),
+             "b": jnp.asarray(t2n(conv.mlp_curvature.layers[1].bias))},
+        ],
+    }
+
+
+def test_poincare_conv_matches_executed_reference():
+    rng = np.random.default_rng(13)
+    d = 8  # even (Givens rotations act on coordinate pairs)
+    mod = load("models.hyperbolicgnn.poincaregnn")
+    conv = mod.PoincareConv(
+        in_channels=d, out_channels=d, in_channels_r=d, out_channels_r=d,
+        act=None, dropout=0.0, dtype="double",
+    ).double()
+    p = _hyp_conv_params(conv, rng)
+    mine = C.PoincareConv(d, d, d, d, act=None, dropout=0.0)
+
+    x = rng.normal(0, 0.3, (N_ENT, d))
+    rel = rng.normal(0, 0.3, (N_REL, 3 * d))
+    curv_raw = rng.normal(0, 0.5, (N_REL, 1))
+
+    h_a, t_a, r_a = _edges_aligned()
+    out_ref, (rel_ref, craw_ref) = conv(
+        torch.from_numpy(x),
+        torch.from_numpy(np.stack([h_a, t_a])).long(),
+        torch.from_numpy(r_a).long(),
+        (torch.from_numpy(rel), torch.from_numpy(curv_raw)),
+    )
+
+    h_s, t_s, r_s = _edges_sorted_halves()
+    out_my, (rel_my, craw_my) = mine.apply(
+        p, jnp.asarray(x),
+        (jnp.asarray(h_s), jnp.asarray(t_s), jnp.asarray(r_s)),
+        (jnp.asarray(rel), jnp.asarray(curv_raw)),
+        jnp.ones((h_s.shape[0],), jnp.float64),
+    )
+    # tolerance absorbs the reference's float32 symmetric degree norms
+    # (messagepassing.py:95 `.float()`); equation errors would be O(1)
+    np.testing.assert_allclose(np.asarray(out_my), t2n(out_ref),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rel_my), t2n(rel_ref),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(craw_my), t2n(craw_ref),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_lorentz_conv_matches_executed_reference():
+    rng = np.random.default_rng(17)
+    d = 8
+    mod = load("models.hyperbolicgnn.lorentzgnn")
+    conv = mod.LorentzConv(
+        in_channels=d, out_channels=d, in_channels_r=d, out_channels_r=d,
+        act=None, dropout=0.0, dtype="double",
+    ).double()
+    p = _hyp_conv_params(conv, rng, skip=())  # Lorentz has no b_rel quirk
+    mine = C.LorentzConv(d, d, d, d, act=None, dropout=0.0)
+
+    x = rng.normal(0, 0.3, (N_ENT, d))
+    rel = rng.normal(0, 0.3, (N_REL, 3 * d))
+    curv_raw = rng.normal(0, 0.5, (N_REL, 1))
+
+    h_a, t_a, r_a = _edges_aligned()
+    # reference returns the 3-tuple its own stack cannot unpack
+    # (lorentzgnn.py:79 — divergence documented in convs.py)
+    out_ref, rel_ref, craw_ref = conv(
+        torch.from_numpy(x),
+        torch.from_numpy(np.stack([h_a, t_a])).long(),
+        torch.from_numpy(r_a).long(),
+        (torch.from_numpy(rel), torch.from_numpy(curv_raw)),
+    )
+
+    h_s, t_s, r_s = _edges_sorted_halves()
+    out_my, (rel_my, craw_my) = mine.apply(
+        p, jnp.asarray(x),
+        (jnp.asarray(h_s), jnp.asarray(t_s), jnp.asarray(r_s)),
+        (jnp.asarray(rel), jnp.asarray(curv_raw)),
+        jnp.ones((h_s.shape[0],), jnp.float64),
+    )
+    # full-graph head degrees are powers of two -> the reference's float32
+    # 1/deg norms are exact here; remaining diff is f64 association noise
+    np.testing.assert_allclose(np.asarray(out_my), t2n(out_ref),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(rel_my), t2n(rel_ref),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(craw_my), t2n(craw_ref),
+                               rtol=1e-9, atol=1e-11)
+
+
+# ------------------------- CompGCN decoder parity ----------------------------
+
+
+class _FakeDataset:
+    def __init__(self, triples):
+        self._t = triples
+
+    def get_examples(self, split):
+        return self._t
+
+
+@pytest.mark.parametrize("basis", [0, 2])
+@pytest.mark.parametrize("interaction", ["distmult", "transe"])
+def test_compgcn_decoder_matches_executed_reference(basis, interaction):
+    """get_r (basis on/off) + get_queries + similarity_score of the full
+    reference CompGCN model (euclideangnn.py:110-173), executed with an
+    injected encoder cache so only the decoder math is under test."""
+    rng = np.random.default_rng(19)
+    rank, hidden = 6, 8
+    mod = load("models.euclideangnn")
+    args = make_args(
+        sizes=(N_ENT, N_REL, N_ENT), rank=rank, hidden_dim=hidden,
+        edge_dropout=0.0, layers=2, opn="mult", basis=basis,
+        interaction=interaction, dtype="double",
+    )
+    h_a, t_a, r_a = _edges_aligned()
+    triples = np.stack([h_a[:10], r_a[:10], t_a[:10]], 1).astype(np.int64)
+    ref = mod.CompGCN(args, _FakeDataset(triples)).double()
+    _randomize(
+        [("rel", ref.rel.weight), ("bh", ref.bh.weight)]
+        + ([("rel_diag", ref.rel_diag.weight)] if basis else []),
+        rng,
+    )
+
+    from complexhyperbolickge_tpu.models import ModelConfig
+    from complexhyperbolickge_tpu.models.gnn.models import CompGCN as MyCompGCN
+
+    cfg = ModelConfig(n_entities=N_ENT, n_relations=N_REL, rank=rank,
+                      bias="learn", dtype="float64")
+
+    class _A:
+        hidden_dim = hidden
+        layers = 2
+        edge_dropout = 0.0
+        dropout = 0.0
+        opn = "mult"
+        basis = 0
+        interaction = "distmult"
+
+    _A.basis, _A.interaction = basis, interaction
+    from complexhyperbolickge_tpu.data.dataset import synthetic_kg
+
+    mine = MyCompGCN(cfg, _A, synthetic_kg(n_entities=N_ENT,
+                                           n_relations=HALF_REL,
+                                           n_train=20, n_valid=4, n_test=4))
+    params = mine.init(__import__("jax").random.PRNGKey(0))
+    params = {k: v.astype(jnp.float64) for k, v in params.items()
+              if not isinstance(v, (list, tuple))} | {
+        k: v for k, v in params.items() if isinstance(v, (list, tuple))
+    }
+    params["rel"] = jnp.asarray(t2n(ref.rel.weight))
+    params["bh"] = jnp.asarray(t2n(ref.bh.weight))
+    if basis:
+        params["rel_basis"] = jnp.asarray(t2n(ref.rel_diag.weight))
+
+    # basis composition parity
+    np.testing.assert_allclose(
+        np.asarray(mine.get_r(params)), t2n(ref.get_r()), rtol=1e-12
+    )
+
+    # decoder scoring parity over an injected shared cache
+    x_cache = rng.normal(0, 0.5, (N_ENT, hidden))
+    r_cache = np.asarray(mine.get_r(params) if basis else t2n(ref.get_r()))
+    if r_cache.shape[1] != hidden:
+        # decoder consumes ENCODED relations; fake an encoded cache
+        r_cache = rng.normal(0, 0.5, (N_REL, hidden))
+    queries = np.stack(
+        [rng.integers(0, N_ENT, 5), rng.integers(0, N_REL, 5)], 1
+    )
+
+    lhs_ref, bias_ref = ref.get_queries(
+        torch.from_numpy(queries).long(),
+        cache=(torch.from_numpy(x_cache), torch.from_numpy(r_cache)),
+    )
+    scores_ref = ref.similarity_score(
+        lhs_ref, torch.from_numpy(x_cache).unsqueeze(0)
+    )
+
+    cache = (jnp.asarray(x_cache), jnp.asarray(r_cache))
+    (lhs_my,), bias_my = mine.get_queries(params, jnp.asarray(queries),
+                                          cache=cache)
+    scores_my = mine.sim((lhs_my,), cache[0], all_pairs=True)
+
+    np.testing.assert_allclose(np.asarray(lhs_my),
+                               t2n(lhs_ref).squeeze(1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(bias_my),
+                               t2n(bias_ref).squeeze(1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(scores_my),
+                               t2n(scores_ref).squeeze(-1), rtol=1e-10,
+                               atol=1e-12)
