@@ -31,18 +31,37 @@ from complexhyperbolickge_tpu.train.trainer import TrainConfig, make_optimizer
 def build_subgraph_labels(sub: Subgraph, max_nodes: int) -> np.ndarray:
     """Multi-hot (B, max_nodes) labels: true local tails of each query among
     the subgraph's TRAIN edges, plus the query's own tail (the reference's
-    make_labels with queries appended, kg_dataset.py:182-227)."""
+    make_labels with queries appended, kg_dataset.py:182-227).
+
+    Vectorized group-by over (head, rel) keys — the label_pack
+    sort+searchsorted pattern (data/dataset.py) — instead of a per-edge
+    Python dict loop: the label build must not serialize the device step
+    (this runs on the producer thread of the double-buffered epoch)."""
     b = len(sub.queries)
     labels = np.zeros((b, max_nodes), dtype=np.float32)
+    q = np.asarray(sub.queries)
+    labels[np.arange(b), q[:, 2]] = 1.0
     tmask = sub.train_mask[: sub.n_edges] > 0
     e = sub.edges[: sub.n_edges][tmask]
-    key_edges = {}
-    for h, r, t in e:
-        key_edges.setdefault((int(h), int(r)), []).append(int(t))
-    for i, (h, r, t) in enumerate(sub.queries):
-        labels[i, int(t)] = 1.0
-        for tt in key_edges.get((int(h), int(r)), ()):
-            labels[i, tt] = 1.0
+    if len(e) == 0:
+        return labels
+    # (h, r) -> scalar key; multiplier covers both edge and query rel ids
+    mult = int(max(e[:, 1].max(), q[:, 1].max())) + 1
+    ekey = e[:, 0].astype(np.int64) * mult + e[:, 1]
+    qkey = q[:, 0].astype(np.int64) * mult + q[:, 1]
+    order = np.argsort(ekey, kind="stable")
+    ekey_s = ekey[order]
+    tails_s = e[order, 2]
+    lo = np.searchsorted(ekey_s, qkey, side="left")
+    hi = np.searchsorted(ekey_s, qkey, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total:
+        rows = np.repeat(np.arange(b), counts)
+        # concatenated [lo_i, hi_i) ranges without a Python loop
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        idx = np.repeat(lo, counts) + offs
+        labels[rows, tails_s[idx]] = 1.0
     return labels
 
 
@@ -139,35 +158,76 @@ class SubgraphTrainer:
 
     # --------------------------------- epoch ---------------------------------
 
+    def _prep_host(self, sub: Subgraph):
+        """ALL host-side numpy prep for one batch (runs on the producer
+        thread; the consumer only does device transfers + dispatch)."""
+        node_w = (np.arange(self.max_nodes) < sub.n_nodes).astype(np.float32)
+        labels = (
+            build_subgraph_labels(sub, self.max_nodes)
+            if self.cfg.loss == "binarycrossentropy" else
+            np.zeros((len(sub.queries), 1), np.float32)
+        )
+        gq = np.stack(
+            [sub.node_ids[sub.queries[:, 0]], sub.queries[:, 1],
+             sub.node_ids[sub.queries[:, 2]]], axis=1,
+        )
+        qw = (
+            sub.query_weight
+            if sub.query_weight is not None
+            else np.ones(len(sub.queries), np.float32)
+        )
+        return (sub.node_ids, sub.edges, sub.edge_weight, sub.train_mask,
+                node_w, sub.queries, gq, labels,
+                np.float32(sub.n_nodes), qw)
+
     def run_epoch(self, params, opt_state, batch_size: int,
                   rng: np.random.Generator, key, epoch_id: int = 0):
-        total, count = 0.0, 0
-        for i, sub in enumerate(self.sampler.epoch(batch_size, rng,
-                                                   seed_base=epoch_id << 20)):
-            node_w = (np.arange(self.max_nodes) < sub.n_nodes).astype(np.float32)
-            labels = (
-                build_subgraph_labels(sub, self.max_nodes)
-                if self.cfg.loss == "binarycrossentropy" else
-                np.zeros((len(sub.queries), 1), np.float32)
-            )
-            gq = np.stack(
-                [sub.node_ids[sub.queries[:, 0]], sub.queries[:, 1],
-                 sub.node_ids[sub.queries[:, 2]]], axis=1,
-            )
-            qw = (
-                sub.query_weight
-                if sub.query_weight is not None
-                else np.ones(len(sub.queries), np.float32)
-            )
+        """Double-buffered epoch: a background producer thread runs the
+        neighbor sampler + label build (pure numpy) into a 2-deep queue
+        while the consumer dispatches compiled steps — the sampler no longer
+        serializes the device (the reference gets the same overlap from its
+        LinkNeighborLoader num_workers=4, kg_optimizer.py:330).  Per-step
+        losses stay ON DEVICE (a float() sync per step would re-serialize
+        the pipeline); one sum materializes at epoch end."""
+        import queue as _queue
+        import threading
+
+        q: _queue.Queue = _queue.Queue(maxsize=2)
+
+        def produce():
+            try:
+                for sub in self.sampler.epoch(batch_size, rng,
+                                              seed_base=epoch_id << 20):
+                    q.put(self._prep_host(sub))
+                q.put(None)
+            except BaseException as e:  # surface sampler errors in-order
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        losses = []
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
+            (node_ids, edges, edge_w, train_mask, node_w, queries, gq,
+             labels, n_nodes, qw) = item
             key, sk = jax.random.split(key)
             params, opt_state, loss = self._step(
                 params, opt_state,
-                jnp.asarray(sub.node_ids), jnp.asarray(sub.edges),
-                jnp.asarray(sub.edge_weight), jnp.asarray(sub.train_mask),
-                jnp.asarray(node_w), jnp.asarray(sub.queries),
+                jnp.asarray(node_ids), jnp.asarray(edges),
+                jnp.asarray(edge_w), jnp.asarray(train_mask),
+                jnp.asarray(node_w), jnp.asarray(queries),
                 jnp.asarray(gq), jnp.asarray(labels),
-                jnp.float32(sub.n_nodes), jnp.asarray(qw), sk,
+                jnp.float32(n_nodes), jnp.asarray(qw), sk,
             )
-            total += float(loss)
-            count += 1
-        return params, opt_state, total / max(count, 1)
+            losses.append(loss)
+        t.join()
+        if not losses:
+            return params, opt_state, 0.0
+        # single host sync for the whole epoch
+        total = float(np.asarray(jnp.sum(jnp.stack(losses))))
+        return params, opt_state, total / len(losses)

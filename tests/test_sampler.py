@@ -91,6 +91,29 @@ def test_subgraph_labels(data):
     assert (labels[np.arange(16), sub.queries[:, 2]] == 1).all()
 
 
+def test_subgraph_labels_match_dict_loop_semantics(data):
+    """The vectorized sort+searchsorted label build must reproduce the
+    straightforward per-edge dict group-by exactly (the reference
+    make_labels semantics, kg_dataset.py:182-227)."""
+    s = NeighborSampler(data, fanouts=(6, 6), max_nodes=MAX_NODES,
+                        max_edges=MAX_EDGES)
+    for seed in range(4):
+        sub = s.sample(np.arange(seed * 8, seed * 8 + 24), seed=seed)
+        got = build_subgraph_labels(sub, MAX_NODES)
+
+        want = np.zeros((len(sub.queries), MAX_NODES), np.float32)
+        tmask = sub.train_mask[: sub.n_edges] > 0
+        e = sub.edges[: sub.n_edges][tmask]
+        by_key = {}
+        for h, r, t in e:
+            by_key.setdefault((int(h), int(r)), []).append(int(t))
+        for i, (h, r, t) in enumerate(sub.queries):
+            want[i, int(t)] = 1.0
+            for tt in by_key.get((int(h), int(r)), ()):
+                want[i, tt] = 1.0
+        np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("loss", ["crossentropy", "binarycrossentropy"])
 def test_subgraph_training(data, loss):
     n_ent, n_rel, _ = data.get_shape()
