@@ -55,7 +55,7 @@ def data():
 
 
 def train_ours(data, name="FFTRotH", rank=RANK, optimizer="Adam", lr=LR,
-               batch=BATCH, epochs=EPOCHS, neg_mode="per_query"):
+               batch=BATCH, epochs=EPOCHS, neg_mode="per_query", seed=0):
     n_ent, n_rel, _ = data.get_shape()
     cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=rank,
                       multi_c=True, bias="learn", dtype="float32")
@@ -64,10 +64,11 @@ def train_ours(data, name="FFTRotH", rank=RANK, optimizer="Adam", lr=LR,
                        neg_sample_size=NEG, regularizer="N3", reg=0.0,
                        neg_mode=neg_mode, neg_pool_size=64)
     trainer = Trainer(model, tcfg, n_ent, n_rel)
-    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    params, opt_state = trainer.init(jax.random.PRNGKey(seed))
     ex = data.get_examples("train")
-    rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(seed)
+    # seed 0 must reproduce the round-2 pinned streams (PRNGKey(1))
+    key = jax.random.PRNGKey(seed + 1)
     for _ in range(epochs):
         b, w, _ = epoch_batches(ex, batch, rng)
         key, ek = jax.random.split(key)
@@ -76,7 +77,7 @@ def train_ours(data, name="FFTRotH", rank=RANK, optimizer="Adam", lr=LR,
 
 
 def train_reference(data, name="FFTRotH", rank=RANK, optimizer="Adam", lr=LR,
-                    batch=BATCH, epochs=EPOCHS):
+                    batch=BATCH, epochs=EPOCHS, seed=0):
     mod = load(
         "models.complexhyperbolic" if name.startswith("FFT")
         else "models.hyperbolic"
@@ -84,14 +85,14 @@ def train_reference(data, name="FFTRotH", rank=RANK, optimizer="Adam", lr=LR,
     n_ent, n_rel, _ = data.get_shape()
     args = make_args(sizes=(n_ent, n_rel, n_ent), rank=rank, multi_c=True,
                      bias="learn", dtype="float")
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     model = getattr(mod, name)(args).float()
     if name.startswith("FFT"):
         model.lift = True  # the working semantics (SURVEY §2.4.1)
     opt_cls = {"Adam": torch.optim.Adam, "Adagrad": torch.optim.Adagrad}
     opt = opt_cls[optimizer](model.parameters(), lr=lr)
     ex = torch.from_numpy(data.get_examples("train").astype(np.int64))
-    g = torch.Generator().manual_seed(0)
+    g = torch.Generator().manual_seed(seed)
     for _ in range(epochs):
         order = torch.randperm(len(ex), generator=g)
         for i in range(0, len(ex), batch):
@@ -151,8 +152,8 @@ def test_families_learn_structured_kg(data, name, rank):
 # convergence comparisons just measure RNG-stream divergence): FFTAttH's
 # attention warms up slowly, so it gets a lower lr + longer horizon; RotH
 # needs an even rank (Givens pairs-of-2, reference utils/euclidean.py:39).
+# (FFTRotH, the flagship, gets the tighter 3-seed gate below instead.)
 @pytest.mark.parametrize("name,kw", [
-    ("FFTRotH", {}),
     ("FFTAttH", {"lr": 0.02, "epochs": 80}),
     ("RotH", {"rank": 16}),
 ])
@@ -164,6 +165,24 @@ def test_learning_dynamics_match_reference(data, name, kw):
     assert mrr_ours > 5 * chance, f"ours failed to learn: {mrr_ours}"
     assert abs(mrr_ours - mrr_ref) < 0.10, (name, mrr_ours, mrr_ref)
     print(f"{name}: MRR ours={mrr_ours:.3f} reference={mrr_ref:.3f}")
+
+
+def test_flagship_multiseed_plateau_parity(data):
+    """FFTRotH 3-seed mean plateau MRR, both stacks, band ±0.03 (round-2
+    verdict item 8: the single-seed ±0.10 band could hide a few-point
+    regression).  Per-seed values swing up to ~0.10 between the stacks'
+    unrelated RNG streams (measured: reference seed-0 0.821 vs seed-1
+    0.943), but the 3-seed MEANS agree to ~0.01 — the mean band is 3x the
+    measured gap while per-seed bands at this width would be flaky."""
+    seeds = (0, 1, 2)
+    ours = [train_ours(data, "FFTRotH", seed=s) for s in seeds]
+    ref = [train_reference(data, "FFTRotH", seed=s) for s in seeds]
+    chance = 2.0 / N_ENT
+    assert min(ours) > 5 * chance, ours
+    assert min(ref) > 5 * chance, ref
+    gap = abs(float(np.mean(ours)) - float(np.mean(ref)))
+    assert gap < 0.03, (ours, ref, gap)
+    print(f"FFTRotH 3-seed: ours={np.mean(ours):.3f} ref={np.mean(ref):.3f}")
 
 
 # ----------------------- FB237-shaped KG + Adagrad path -----------------------
@@ -230,4 +249,12 @@ def test_pinned_seed0_mrr_regression(data):
     program is deterministic to well under the band here)."""
     mrr = train_ours(data, "FFTRotH")
     PINNED = 0.9200  # jax 0.9.0 CPU, recorded 2026-08-16 (round 2)
+    assert abs(mrr - PINNED) < 0.02, mrr
+
+
+def test_pinned_seed0_mrr_regression_fftatth(data):
+    """Second pinned model (round-2 verdict item 8): FFTAttH exercises the
+    attention softmax + context-vector path the FFTRotH pin does not."""
+    mrr = train_ours(data, "FFTAttH", lr=0.02, epochs=80)
+    PINNED = 0.9658  # jax 0.9.0 CPU, recorded 2026-08-17 (round 3)
     assert abs(mrr - PINNED) < 0.02, mrr
