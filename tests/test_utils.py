@@ -101,3 +101,36 @@ def test_export_cli_roundtrip(tmp_path):
             np.testing.assert_array_equal(z[k], np.asarray(v))
     cfg = json.loads(bytes(z["__config__"]).decode())
     assert cfg["model"] == "FFTRotH"
+
+    # --out without an .npz suffix: np.savez appends it silently; the
+    # returned/logged path must be the file that actually exists
+    out2 = export(str(tmp_path), str(tmp_path / "emb_noext"))
+    assert out2.endswith(".npz")
+    import os
+
+    assert os.path.exists(out2)
+
+
+def test_sampler_env_lib_validation_deferred():
+    """A stale KGSAMPLER_LIB must not make the package unimportable
+    (export/predict on a serving box never touch the sampler); the hard
+    error fires at first sampler use instead."""
+    import subprocess
+    import sys
+
+    code = (
+        "import complexhyperbolickge_tpu.data.sampler as S\n"
+        "try:\n"
+        "    S._load_lib()\n"
+        "except FileNotFoundError as e:\n"
+        "    assert 'KGSAMPLER_LIB' in str(e)\n"
+        "    print('deferred-error-ok')\n"
+    )
+    env = dict(__import__("os").environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["KGSAMPLER_LIB"] = "/nonexistent/libkgsampler.so"
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "deferred-error-ok" in r.stdout
