@@ -39,6 +39,8 @@ N_ENT, N_REL_RAW, RANK, BATCH, NEG = 40943, 11, 33, 500, 100
 
 
 def main():
+    t_start = time.perf_counter()
+
     import jax
     import jax.numpy as jnp
 
@@ -96,7 +98,13 @@ def main():
     )
 
     secondary = {}
-    if os.environ.get("BENCH_SECONDARY", "1") != "0":
+    # each secondary costs one more compile through the remote tunnel
+    # (1-6 min, variable); the budget guard (elapsed since process start)
+    # keeps a slow tunnel day from jeopardizing the headline JSON line
+    # (measured full run ~25 min nominal)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    if os.environ.get("BENCH_SECONDARY", "1") != "0" \
+            and time.perf_counter() - t_start < budget_s * 0.6:
         # bitwise reference-semantics negative sampling ((B,K,D) row gather)
         secondary["per_query_triples_per_sec"] = round(measure(
             TrainConfig(optimizer="Adam", learning_rate=3e-4,
@@ -104,13 +112,14 @@ def main():
                         regularizer="N3", reg=0.0, neg_mode="per_query"),
             n_windows=1,
         ), 1)
-        # all-entity cross-entropy loss (reference kg_optimizer.py:186-191)
-        secondary["crossentropy_triples_per_sec"] = round(measure(
-            TrainConfig(optimizer="Adam", learning_rate=3e-4,
-                        batch_size=BATCH, neg_sample_size=0,
-                        regularizer="N3", reg=0.0, loss="crossentropy"),
-            n_windows=1,
-        ), 1)
+        if time.perf_counter() - t_start < budget_s:
+            # all-entity cross-entropy (reference kg_optimizer.py:186-191)
+            secondary["crossentropy_triples_per_sec"] = round(measure(
+                TrainConfig(optimizer="Adam", learning_rate=3e-4,
+                            batch_size=BATCH, neg_sample_size=0,
+                            regularizer="N3", reg=0.0, loss="crossentropy"),
+                n_windows=1,
+            ), 1)
 
     print(json.dumps({
         "metric": "fftroth_train_throughput_wn18rr_b500_neg100_rank33_poolneg",
