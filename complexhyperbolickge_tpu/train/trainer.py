@@ -53,6 +53,11 @@ class TrainConfig:
     # bound by the candidate gather/scatter, not the distance math), so off
     # by default; kept as a verified building block.
     fused_scorer: bool = False
+    # lax.scan unroll factor for the epoch loop (semantics-preserving; the
+    # step chain is sequentially dependent through params, so this only
+    # amortizes loop bookkeeping — measured neutral at the b500 overhead
+    # floor on v5e, kept as a knob for other shapes)
+    scan_unroll: int = 1
 
 
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
@@ -259,7 +264,8 @@ class Trainer:
                 else (idx, batches, weights, labels, keys)
             )
             (params, opt_state, _), losses = jax.lax.scan(
-                body, (params, opt_state, zero_grads), xs
+                body, (params, opt_state, zero_grads), xs,
+                unroll=max(1, self.cfg.scan_unroll),
             )
             return params, opt_state, jnp.mean(losses)
 
