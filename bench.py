@@ -98,28 +98,47 @@ def main():
     )
 
     secondary = {}
-    # each secondary costs one more compile through the remote tunnel
-    # (1-6 min, variable); the budget guard (elapsed since process start)
-    # keeps a slow tunnel day from jeopardizing the headline JSON line
-    # (measured full run ~25 min nominal)
+    # Each secondary costs one more compile through the remote tunnel
+    # (1-6 min, variable).  The headline is ALREADY measured at this point;
+    # nothing below may lose it: a SIGALRM watchdog converts a wedged-tunnel
+    # hang into an exception, and any secondary failure is recorded in the
+    # tail instead of propagating (measured full run ~25 min nominal).
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     if os.environ.get("BENCH_SECONDARY", "1") != "0" \
             and time.perf_counter() - t_start < budget_s * 0.6:
-        # bitwise reference-semantics negative sampling ((B,K,D) row gather)
-        secondary["per_query_triples_per_sec"] = round(measure(
-            TrainConfig(optimizer="Adam", learning_rate=3e-4,
-                        batch_size=BATCH, neg_sample_size=NEG,
-                        regularizer="N3", reg=0.0, neg_mode="per_query"),
-            n_windows=1,
-        ), 1)
-        if time.perf_counter() - t_start < budget_s:
-            # all-entity cross-entropy (reference kg_optimizer.py:186-191)
-            secondary["crossentropy_triples_per_sec"] = round(measure(
+        import signal
+
+        def _on_alarm(signum, frame):
+            raise TimeoutError("secondary measurement exceeded BENCH_BUDGET_S")
+
+        try:
+            old = signal.signal(signal.SIGALRM, _on_alarm)
+            signal.alarm(int(max(60, budget_s - (time.perf_counter() - t_start))))
+        except ValueError:  # not the main thread
+            old = None
+        try:
+            # bitwise reference-semantics sampling ((B,K,D) row gather)
+            secondary["per_query_triples_per_sec"] = round(measure(
                 TrainConfig(optimizer="Adam", learning_rate=3e-4,
-                            batch_size=BATCH, neg_sample_size=0,
-                            regularizer="N3", reg=0.0, loss="crossentropy"),
+                            batch_size=BATCH, neg_sample_size=NEG,
+                            regularizer="N3", reg=0.0, neg_mode="per_query"),
                 n_windows=1,
             ), 1)
+            if time.perf_counter() - t_start < budget_s:
+                # all-entity cross-entropy (kg_optimizer.py:186-191)
+                secondary["crossentropy_triples_per_sec"] = round(measure(
+                    TrainConfig(optimizer="Adam", learning_rate=3e-4,
+                                batch_size=BATCH, neg_sample_size=0,
+                                regularizer="N3", reg=0.0,
+                                loss="crossentropy"),
+                    n_windows=1,
+                ), 1)
+        except BaseException as e:  # noqa: BLE001 — headline must survive
+            secondary["error"] = f"{type(e).__name__}: {e}"
+        finally:
+            if old is not None:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
 
     print(json.dumps({
         "metric": "fftroth_train_throughput_wn18rr_b500_neg100_rank33_poolneg",

@@ -318,6 +318,13 @@ def train(args) -> dict:
                 def _fit(x, ref):
                     x = np.asarray(x)
                     if x.shape != ref.shape:
+                        if any(s > r for s, r in zip(x.shape, ref.shape)):
+                            raise ValueError(
+                                f"checkpoint leaf shape {x.shape} exceeds the "
+                                f"live layout {ref.shape}: checkpoints are "
+                                "canonical (unpadded) — this one looks like "
+                                "it was written with mesh-padded tables"
+                            )
                         x = np.pad(x, [(0, r - s)
                                        for s, r in zip(x.shape, ref.shape)])
                     if isinstance(ref.sharding, jax.sharding.NamedSharding):

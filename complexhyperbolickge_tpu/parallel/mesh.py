@@ -48,7 +48,8 @@ def make_mesh(shape=None, devices=None) -> Mesh:
         shape = (len(devices), 1)
     # DCN granule = TPU slice when the platform reports one; otherwise the
     # PROCESS boundary (multi-process CPU/GPU: cross-process traffic is the
-    # network, exactly what the outer 'data' axis should absorb)
+    # network, which the outer 'data' axis should absorb when the layout
+    # allows it)
     has_slices = any(getattr(d, "slice_index", None) is not None
                      for d in devices)
     if has_slices:
@@ -57,22 +58,48 @@ def make_mesh(shape=None, devices=None) -> Mesh:
         granules = {d.process_index for d in devices}
     n_slices = len(granules)
     if n_slices > 1:
-        if shape[0] % n_slices != 0:
-            # user-config validation: must survive `python -O` (no assert)
-            raise ValueError(
-                f"'data' axis {shape[0]} must be divisible by {n_slices} "
-                "slices (the slice boundary maps onto the data axis)"
+        # the hybrid layout needs equal-size granules, a data axis divisible
+        # by the granule count, and each granule able to hold one
+        # (data/n_slices, model) tile
+        per = len(devices) // n_slices
+        fits = (
+            len(devices) % n_slices == 0
+            and shape[0] % n_slices == 0
+            and (shape[0] // n_slices) * shape[1] == per
+        )
+        if fits:
+            dev_mesh = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(shape[0] // n_slices, shape[1]),
+                dcn_mesh_shape=(n_slices, 1),
+                devices=devices,
+                process_is_granule=not has_slices,
             )
-        dev_mesh = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(shape[0] // n_slices, shape[1]),
-            dcn_mesh_shape=(n_slices, 1),
-            devices=devices,
-            process_is_granule=not has_slices,
+            return Mesh(dev_mesh, axis_names=("data", "model"))
+        if has_slices:
+            # real TPU slices: crossing the DCN boundary on the model axis
+            # would put latency-sensitive collectives on the slow fabric —
+            # make the user pick a compatible shape.  Must survive
+            # `python -O` (no assert).
+            raise ValueError(
+                f"mesh {shape} cannot be laid out over {n_slices} TPU "
+                f"slices of {per} devices: 'data' must be divisible by "
+                f"{n_slices} and data/{n_slices} x model must equal {per} "
+                "(the slice boundary maps onto the data axis)"
+            )
+        # process granules (multi-process CPU/GPU): cross-process links may
+        # well be fast (single-node, one process per GPU) — fall back to a
+        # flat mesh rather than forbid previously-legal layouts like an
+        # 8-process 4x2 or a model axis spanning processes
+        import logging
+
+        logging.info(
+            "mesh %s does not align with %d process granules; building a "
+            "flat device mesh (cross-process traffic may land on 'model')",
+            shape, n_slices,
         )
-    else:
-        dev_mesh = mesh_utils.create_device_mesh(
-            shape, devices=np.asarray(devices)
-        )
+    dev_mesh = mesh_utils.create_device_mesh(
+        shape, devices=np.asarray(devices)
+    )
     return Mesh(dev_mesh, axis_names=("data", "model"))
 
 

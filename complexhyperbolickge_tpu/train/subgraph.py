@@ -193,39 +193,56 @@ class SubgraphTrainer:
         import threading
 
         q: _queue.Queue = _queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that aborts when the consumer has bailed —
+            otherwise a consumer exception (compiled-step error, debug_nans,
+            KeyboardInterrupt) would leave the producer blocked on a full
+            queue forever, leaking the thread and its prepped batches."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for sub in self.sampler.epoch(batch_size, rng,
                                               seed_base=epoch_id << 20):
-                    q.put(self._prep_host(sub))
-                q.put(None)
+                    if not _put(self._prep_host(sub)):
+                        return
+                _put(None)
             except BaseException as e:  # surface sampler errors in-order
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         losses = []
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                t.join()
-                raise item
-            (node_ids, edges, edge_w, train_mask, node_w, queries, gq,
-             labels, n_nodes, qw) = item
-            key, sk = jax.random.split(key)
-            params, opt_state, loss = self._step(
-                params, opt_state,
-                jnp.asarray(node_ids), jnp.asarray(edges),
-                jnp.asarray(edge_w), jnp.asarray(train_mask),
-                jnp.asarray(node_w), jnp.asarray(queries),
-                jnp.asarray(gq), jnp.asarray(labels),
-                jnp.float32(n_nodes), jnp.asarray(qw), sk,
-            )
-            losses.append(loss)
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                (node_ids, edges, edge_w, train_mask, node_w, queries, gq,
+                 labels, n_nodes, qw) = item
+                key, sk = jax.random.split(key)
+                params, opt_state, loss = self._step(
+                    params, opt_state,
+                    jnp.asarray(node_ids), jnp.asarray(edges),
+                    jnp.asarray(edge_w), jnp.asarray(train_mask),
+                    jnp.asarray(node_w), jnp.asarray(queries),
+                    jnp.asarray(gq), jnp.asarray(labels),
+                    jnp.float32(n_nodes), jnp.asarray(qw), sk,
+                )
+                losses.append(loss)
+        finally:
+            stop.set()
+            t.join()
         if not losses:
             return params, opt_state, 0.0
         # single host sync for the whole epoch

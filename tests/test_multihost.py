@@ -157,7 +157,31 @@ def test_distributed_mesh_is_hybrid():
     assert rows_pid[0] != rows_pid[2]
 
 
-def test_distributed_data_axis_must_divide_processes():
+def test_mesh_slice_misalignment_is_an_error():
+    """Real TPU slices: a mesh that cannot keep the model axis inside one
+    slice must error (DCN would carry latency-sensitive collectives)."""
+
+    class FakeDev:
+        def __init__(self, sid, did):
+            self.slice_index = sid
+            self.process_index = sid
+            self.id = did
+            self.platform = "tpu"
+            self.device_kind = "tpu"
+
+    from complexhyperbolickge_tpu.parallel.mesh import make_mesh
+
+    devs = [FakeDev(sid, sid * 3 + i) for sid in range(3) for i in range(3)]
+    with pytest.raises(ValueError, match="slice"):
+        make_mesh((4, 2), devices=devs[:9])  # 3 slices, data axis 4
+
+
+def test_mesh_process_misalignment_falls_back_to_flat():
+    """Process granules (multi-process CPU/GPU): a layout that cannot keep
+    granules on the data axis falls back to a FLAT mesh instead of
+    forbidding previously-legal shapes (e.g. 8 single-GPU processes with
+    --mesh 4x2, or a model axis spanning processes)."""
+
     class FakeDev:
         def __init__(self, pid, did):
             self.process_index = pid
@@ -167,6 +191,6 @@ def test_distributed_data_axis_must_divide_processes():
 
     from complexhyperbolickge_tpu.parallel.mesh import make_mesh
 
-    devs = [FakeDev(pid, pid * 3 + i) for pid in range(3) for i in range(3)]
-    with pytest.raises(ValueError, match="divisible"):
-        make_mesh((4, 2), devices=devs[:8])  # 3 granules, data axis 4
+    devs = [FakeDev(pid, pid) for pid in range(8)]  # 8 procs x 1 device
+    mesh = make_mesh((4, 2), devices=devs)
+    assert np.asarray(mesh.devices).shape == (4, 2)
