@@ -259,17 +259,208 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
         )
         return 1.0 + jax.lax.psum(counts, axis_name="model")
 
+    return _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other)
+
+
+def _local_pad_filter_mask(fidx, lo, local_np: int, n_entities: int, b: int):
+    """Local int8 mask: this shard's PAD rows (global id >= n_entities) plus
+    the queries' filtered ids remapped into local coordinates (ids owned by
+    other shards -> positive OOB local_np -> dropped by the scatter; a plain
+    `fidx - lo` would produce NEGATIVE locals which .at[] WRAPS)."""
+    gid = lo + jnp.arange(local_np)
+    mask = jnp.broadcast_to(
+        (gid >= n_entities).astype(jnp.int8)[None, :], (b, local_np)
+    )
+    f = fidx.astype(jnp.int32)
+    f_local = jnp.where((f >= lo) & (f < lo + local_np), f - lo, local_np)
+    rows = jnp.arange(b)[:, None]
+    return mask.at[rows, f_local].set(1, mode="drop")
+
+
+def _psum_gold_bias(bt_local, gold_ids, lo, local_np: int):
+    """(B,) learned tail bias of the gold entities from the row-sharded
+    (1, local_np) bias slice — only the owning shard contributes."""
+    loc = gold_ids - lo
+    owns = (loc >= 0) & (loc < local_np)
+    safe = jnp.clip(loc, 0, local_np - 1)
+    btg = jnp.where(owns, bt_local[0][safe], 0.0)
+    return jax.lax.psum(btg, axis_name="model")
+
+
+def make_sharded_hyp_ranker(model, mesh, n_entities: int, tile_n: int = 512,
+                            interpret: bool = False):
+    """Entity-sharded ranking with the fused Poincare/Lorentz tile kernel per
+    shard (kernels/hyp_rank.py) — the BaseH family (not AttRH) and the
+    BaseLorentz family.  Same layout/collective structure as
+    make_sharded_pallas_ranker; pad rows are masked (this kernel family
+    carries zero pad biases and relies on the mask, like its single-device
+    form)."""
+    from complexhyperbolickge_tpu.kernels.hyp_rank import hyp_rank_counts
+    from complexhyperbolickge_tpu.models.hyperbolic import (
+        AttRH,
+        BaseH,
+        BaseLorentz,
+    )
+    from complexhyperbolickge_tpu.ops.math import round_up
+
+    assert (isinstance(model, BaseH) and not isinstance(model, AttRH)) or \
+        isinstance(model, BaseLorentz)
+    family = "poincare" if isinstance(model, BaseH) else "lorentz"
+    n_shards = mesh.shape["model"]
+    local_np = round_up(-(-n_entities // n_shards), tile_n)
+    np_ = local_np * n_shards
+    d = model.param_specs()["entity"][0][1]
+    dp = round_up(d, 128)
+    other = [k for k in model.param_specs() if k not in _ENTITY_PARAMS]
+
+    def _prep(params):
+        ent = params["entity"].astype(jnp.float32)
+        n = ent.shape[0]  # may exceed n_entities (mesh-padded training)
+        rhs = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(ent[:, :d])
+        bt = params["bt"][:, 0].astype(jnp.float32)
+        if model.cfg.bias != "learn":
+            bt = jnp.zeros_like(bt)
+        bt_row = jnp.zeros((1, np_), jnp.float32)
+        bt_row = bt_row.at[0, :min(n, n_entities)].set(bt[:n_entities])
+        rest = {k: params[k] for k in other}
+        return rhs, bt_row, rest
+
+    prep_jit = jax.jit(_prep, out_shardings=(
+        NamedSharding(mesh, P("model", None)),
+        NamedSharding(mesh, P(None, "model")),
+        {k: NamedSharding(mesh, P()) for k in other},
+    ))
+
+    def local_rank(rhs_local, bt_local, rest, q, fidx):
+        shard_idx = jax.lax.axis_index("model")
+        lo = shard_idx * local_np
+        b = q.shape[0]
+
+        heads = _gather_rows_sharded(rhs_local, q[:, 0], lo, local_np)[:, :d]
+        gold = _gather_rows_sharded(rhs_local, q[:, 2], lo, local_np)[:, :d]
+        q_local = jnp.stack([jnp.arange(b, dtype=q.dtype), q[:, 1]], axis=1)
+        mini = {**rest, "entity": heads,
+                "bh": jnp.zeros((b, 1), heads.dtype)}
+        (lhs, c), _ = model.get_queries(mini, q_local)
+        lhs = lhs.astype(jnp.float32)
+        c = c.astype(jnp.float32)
+        if c.shape[0] == 1:
+            c = jnp.broadcast_to(c, (b, 1))
+        lhs_pad = jnp.zeros((b, dp), jnp.float32).at[:, :d].set(lhs)
+        x2 = jnp.sum(lhs * lhs, axis=-1, keepdims=True)
+
+        t2 = model.sim((lhs, c), gold[:, None, :], all_pairs=False)[:, 0:1]
+        if model.cfg.bias == "learn":
+            t2 = t2 + _psum_gold_bias(bt_local, q[:, 2], lo, local_np)[:, None]
+
+        mask = _local_pad_filter_mask(fidx, lo, local_np, n_entities, b)
+        counts = hyp_rank_counts(
+            lhs_pad, x2, c, t2, rhs_local, bt_local, mask,
+            tile_n=tile_n, interpret=interpret, family=family,
+        )
+        return 1.0 + jax.lax.psum(counts, axis_name="model")
+
+    return _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other)
+
+
+def make_sharded_attrh_ranker(model, mesh, n_entities: int, tile_n: int = 512,
+                              interpret: bool = False):
+    """Entity-sharded ranking with the fused AttRH tile kernel per shard
+    (kernels/hyp_rank.py::attrh_rank_counts): two half-space Poincare
+    distances combined with the relation's learned softmax weights."""
+    from complexhyperbolickge_tpu.kernels.hyp_rank import attrh_rank_counts
+    from complexhyperbolickge_tpu.models.hyperbolic import AttRH
+    from complexhyperbolickge_tpu.ops.math import round_up
+
+    assert isinstance(model, AttRH)
+    n_shards = mesh.shape["model"]
+    local_np = round_up(-(-n_entities // n_shards), tile_n)
+    np_ = local_np * n_shards
+    d = model.param_specs()["entity"][0][1]
+    half = d // 2
+    dp = round_up(half, 128)
+    other = [k for k in model.param_specs() if k not in _ENTITY_PARAMS]
+
+    def _prep(params):
+        ent = params["entity"].astype(jnp.float32)
+        n = ent.shape[0]
+        rot = jnp.zeros((np_, dp), jnp.float32).at[:n, :half].set(ent[:, :half])
+        ref = jnp.zeros((np_, dp), jnp.float32).at[:n, :half].set(ent[:, half:d])
+        bt = params["bt"][:, 0].astype(jnp.float32)
+        if model.cfg.bias != "learn":
+            bt = jnp.zeros_like(bt)
+        bt_row = jnp.zeros((1, np_), jnp.float32)
+        bt_row = bt_row.at[0, :min(n, n_entities)].set(bt[:n_entities])
+        rest = {k: params[k] for k in other}
+        return rot, ref, bt_row, rest
+
+    prep_jit = jax.jit(_prep, out_shardings=(
+        NamedSharding(mesh, P("model", None)),
+        NamedSharding(mesh, P("model", None)),
+        NamedSharding(mesh, P(None, "model")),
+        {k: NamedSharding(mesh, P()) for k in other},
+    ))
+
+    def local_rank(rot_local, ref_local, bt_local, rest, q, fidx):
+        shard_idx = jax.lax.axis_index("model")
+        lo = shard_idx * local_np
+        b = q.shape[0]
+
+        h_rot = _gather_rows_sharded(rot_local, q[:, 0], lo, local_np)[:, :half]
+        h_ref = _gather_rows_sharded(ref_local, q[:, 0], lo, local_np)[:, :half]
+        g_rot = _gather_rows_sharded(rot_local, q[:, 2], lo, local_np)[:, :half]
+        g_ref = _gather_rows_sharded(ref_local, q[:, 2], lo, local_np)[:, :half]
+        heads = jnp.concatenate([h_rot, h_ref], axis=-1)
+        gold = jnp.concatenate([g_rot, g_ref], axis=-1)
+
+        q_local = jnp.stack([jnp.arange(b, dtype=q.dtype), q[:, 1]], axis=1)
+        mini = {**rest, "entity": heads,
+                "bh": jnp.zeros((b, 1), heads.dtype)}
+        (lhs2, c, w), _ = model.get_queries(mini, q_local)
+        lhs2 = lhs2.astype(jnp.float32)
+        c = jnp.broadcast_to(c.astype(jnp.float32), (b, 1))
+        w = w.astype(jnp.float32)
+        l_rot = jnp.zeros((b, dp), jnp.float32).at[:, :half].set(lhs2[:, :half])
+        l_ref = jnp.zeros((b, dp), jnp.float32).at[:, :half].set(lhs2[:, half:])
+        x2r = jnp.sum(lhs2[:, :half] ** 2, axis=-1, keepdims=True)
+        x2f = jnp.sum(lhs2[:, half:] ** 2, axis=-1, keepdims=True)
+
+        t2 = model.sim((lhs2, c, w), gold[:, None, :], all_pairs=False)[:, 0:1]
+        if model.cfg.bias == "learn":
+            t2 = t2 + _psum_gold_bias(bt_local, q[:, 2], lo, local_np)[:, None]
+
+        mask = _local_pad_filter_mask(fidx, lo, local_np, n_entities, b)
+        counts = attrh_rank_counts(
+            l_rot, l_ref, x2r, x2f, c, w[:, 0:1], w[:, 1:2], t2,
+            rot_local, ref_local, bt_local, mask,
+            tile_n=tile_n, interpret=interpret,
+        )
+        return 1.0 + jax.lax.psum(counts, axis_name="model")
+
+    n_tables = 3  # rot, ref, bt_row
+    return _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other,
+                                  n_tables=n_tables)
+
+
+def _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other,
+                           n_tables: int = 2):
+    """Shared scaffolding: shard_map wiring, per-params-version table cache,
+    and the whole-split rank_many scan form."""
+    table_specs = tuple(
+        P("model", None) if i < n_tables - 1 else P(None, "model")
+        for i in range(n_tables)
+    )
     fn = jax.shard_map(
         local_rank, mesh=mesh,
-        in_specs=(P("model", None), P(None, "model"),
-                  {k: P() for k in other}, P(), P()),
+        in_specs=(*table_specs, {k: P() for k in other}, P(), P()),
         out_specs=P(), check_vma=False,
     )
     jit_fn = jax.jit(fn)
 
     @jax.jit
-    def _rank_many(rhs, bt_row, rest, qb, fb):
-        return jax.lax.map(lambda x: fn(rhs, bt_row, rest, *x), (qb, fb))
+    def _rank_many(*args):
+        *tables_rest, qb, fb = args
+        return jax.lax.map(lambda x: fn(*tables_rest, *x), (qb, fb))
 
     cache = {"src": None, "tables": None}
 
@@ -288,18 +479,33 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
 def make_best_sharded_ranker(model, mesh, n_entities: int,
                              backend: str = "auto"):
     """Sharded-ranker analogue of train/evaluate.py::make_best_ranker: the
-    fused Pallas path for CHYP models (on TPU, or interpret-mode when forced
-    with backend='pallas'), else the dense shard_map ranker.  Failures are
-    LOUD: backend='pallas' re-raises; 'auto' warns before degrading."""
+    fused Pallas path per model family (on TPU, or interpret-mode when
+    forced with backend='pallas'), else the dense shard_map ranker.
+    Failures are LOUD: backend='pallas' re-raises; 'auto' warns before
+    degrading."""
     if backend in ("auto", "pallas"):
         try:
             from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
+            from complexhyperbolickge_tpu.models.hyperbolic import (
+                AttRH,
+                BaseH,
+                BaseLorentz,
+            )
             from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
 
             on_tpu = is_tpu_backend()
             want = on_tpu or backend == "pallas"
             if isinstance(model, FFTUnitBall) and want:
                 return make_sharded_pallas_ranker(
+                    model, mesh, n_entities, interpret=not on_tpu
+                )
+            if isinstance(model, AttRH) and want:
+                return make_sharded_attrh_ranker(
+                    model, mesh, n_entities, interpret=not on_tpu
+                )
+            hyp_ok = isinstance(model, (BaseH, BaseLorentz))
+            if hyp_ok and want:
+                return make_sharded_hyp_ranker(
                     model, mesh, n_entities, interpret=not on_tpu
                 )
         except Exception as e:

@@ -380,6 +380,38 @@ def test_sharded_pallas_ranker_rank_many_and_unpadded(data, setup):
         np.testing.assert_array_equal(r, dense_ranks[: nb * 16])
 
 
+@pytest.mark.parametrize("name,rank", [
+    ("RotH", 6),      # BaseH family kernel
+    ("RotLH", 6),     # Lorentz family kernel
+    ("AttRH", 8),     # split-feature kernel (halves must stay even)
+])
+def test_sharded_hyp_family_pallas_matches_dense(data, name, rank):
+    """The Poincare/Lorentz/AttRH fused kernels per shard inside shard_map
+    must reproduce dense filtered ranks exactly (interpret mode, odd N)."""
+    from complexhyperbolickge_tpu.parallel import make_best_sharded_ranker
+
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=rank,
+                      multi_c=True, dtype="float32")
+    model = get_model(name)(cfg)
+    rng = np.random.default_rng(21)
+    params = {
+        k: jnp.asarray(rng.uniform(-0.5, 0.5, size=shape), dtype=jnp.float32)
+        for k, (shape, _) in model.param_specs().items()
+    }
+    params["c"] = jnp.abs(params["c"]) + 0.5
+
+    mesh = make_mesh((2, 4))
+    pack = data.eval_pack("test", "rhs")
+    dense_ranks = get_ranking(model, params, pack, batch_size=16)
+    # backend='pallas' forces interpret-mode kernels off-TPU
+    ranker = make_best_sharded_ranker(model, mesh, N_ENT, backend="pallas")
+    sp = shard_params(params, mesh)
+    r = np.asarray(ranker(sp, jnp.asarray(pack.queries),
+                          jnp.asarray(pack.filter_idx)))
+    np.testing.assert_array_equal(r, dense_ranks)
+
+
 def test_make_best_sharded_ranker_selects(data, setup):
     from complexhyperbolickge_tpu.parallel import make_best_sharded_ranker
 
