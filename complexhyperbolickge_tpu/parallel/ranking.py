@@ -190,24 +190,10 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
     eps = float(ball_eps(jnp.float32))
     other = [k for k in model.param_specs() if k not in _ENTITY_PARAMS]
 
-    def _prep(params):
-        """Padded f32 tables: (np_, dp) entity rows + (1, np_) tail biases."""
-        ent = params["entity"].astype(jnp.float32)
-        n = ent.shape[0]  # may exceed n_entities (mesh-padded training)
-        rhs = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(ent[:, :d])
-        bt = params["bt"][:, 0].astype(jnp.float32)
-        if model.cfg.bias != "learn":
-            bt = jnp.zeros_like(bt)
-        bt_row = jnp.full((1, np_), -1e30, jnp.float32)
-        bt_row = bt_row.at[0, :min(n, n_entities)].set(bt[:n_entities])
-        rest = {k: params[k] for k in other}
-        return rhs, bt_row, rest
-
-    prep_jit = jax.jit(_prep, out_shardings=(
-        NamedSharding(mesh, P("model", None)),
-        NamedSharding(mesh, P(None, "model")),
-        {k: NamedSharding(mesh, P()) for k in other},
-    ))
+    # pad-row bt = -1e30: unreachable by any threshold (the single-device
+    # kernel's trick), so the mask only needs to cover filters
+    prep_jit = _single_table_prep(model, mesh, n_entities, np_, dp, d, other,
+                                  bt_pad_fill=-1e30)
 
     def local_rank(rhs_local, bt_local, rest, q, fidx):
         shard_idx = jax.lax.axis_index("model")
@@ -238,21 +224,9 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
         d_gold = chyp_distance(lhs, gold.astype(jnp.float32))[:, None]
         t2 = -(d_gold**2)
         if model.cfg.bias == "learn":
-            bt_gold_local = bt_local[0]  # (local_np,)
-            loc = q[:, 2] - lo
-            owns = (loc >= 0) & (loc < local_np)
-            safe = jnp.clip(loc, 0, local_np - 1)
-            btg = jnp.where(owns, bt_gold_local[safe], 0.0)
-            t2 = t2 + jax.lax.psum(btg, axis_name="model")[:, None]
+            t2 = t2 + _psum_gold_bias(bt_local, q[:, 2], lo, local_np)[:, None]
 
-        # local filter mask (pad rows need none: bt=-1e30 is unreachable);
-        # ids owned elsewhere remap to local_np -> dropped (positive OOB)
-        rows = jnp.arange(b)[:, None]
-        f = fidx.astype(jnp.int32)
-        f_local = jnp.where((f >= lo) & (f < lo + local_np), f - lo, local_np)
-        mask = jnp.zeros((b, local_np), jnp.int8)
-        mask = mask.at[rows, f_local].set(1, mode="drop")
-
+        mask = _local_pad_filter_mask(fidx, lo, local_np, n_entities, b)
         counts = chyp_rank_counts(
             lhs2, znorm, t2, rhs_local, bt_local, mask,
             tile_n=tile_n, interpret=interpret,
@@ -260,6 +234,32 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
         return 1.0 + jax.lax.psum(counts, axis_name="model")
 
     return _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other)
+
+
+def _single_table_prep(model, mesh, n_entities: int, np_: int, dp: int,
+                       d: int, other, bt_pad_fill: float):
+    """jitted per-params table prep shared by the single-entity-table family
+    rankers (CHYP, BaseH, BaseLorentz): (np_, dp) padded f32 entity rows
+    row-sharded over 'model', (1, np_) tail-bias row (pad slots carry
+    bt_pad_fill), non-entity params replicated."""
+
+    def _prep(params):
+        ent = params["entity"].astype(jnp.float32)
+        n = ent.shape[0]  # may exceed n_entities (mesh-padded training)
+        rhs = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(ent[:, :d])
+        bt = params["bt"][:, 0].astype(jnp.float32)
+        if model.cfg.bias != "learn":
+            bt = jnp.zeros_like(bt)
+        bt_row = jnp.full((1, np_), bt_pad_fill, jnp.float32)
+        bt_row = bt_row.at[0, :min(n, n_entities)].set(bt[:n_entities])
+        rest = {k: params[k] for k in other}
+        return rhs, bt_row, rest
+
+    return jax.jit(_prep, out_shardings=(
+        NamedSharding(mesh, P("model", None)),
+        NamedSharding(mesh, P(None, "model")),
+        {k: NamedSharding(mesh, P()) for k in other},
+    ))
 
 
 def _local_pad_filter_mask(fidx, lo, local_np: int, n_entities: int, b: int):
@@ -313,23 +313,10 @@ def make_sharded_hyp_ranker(model, mesh, n_entities: int, tile_n: int = 512,
     dp = round_up(d, 128)
     other = [k for k in model.param_specs() if k not in _ENTITY_PARAMS]
 
-    def _prep(params):
-        ent = params["entity"].astype(jnp.float32)
-        n = ent.shape[0]  # may exceed n_entities (mesh-padded training)
-        rhs = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(ent[:, :d])
-        bt = params["bt"][:, 0].astype(jnp.float32)
-        if model.cfg.bias != "learn":
-            bt = jnp.zeros_like(bt)
-        bt_row = jnp.zeros((1, np_), jnp.float32)
-        bt_row = bt_row.at[0, :min(n, n_entities)].set(bt[:n_entities])
-        rest = {k: params[k] for k in other}
-        return rhs, bt_row, rest
-
-    prep_jit = jax.jit(_prep, out_shardings=(
-        NamedSharding(mesh, P("model", None)),
-        NamedSharding(mesh, P(None, "model")),
-        {k: NamedSharding(mesh, P()) for k in other},
-    ))
+    # this kernel family carries zero pad biases and relies on the mask for
+    # pad rows, like its single-device form (kernels/hyp_rank.py)
+    prep_jit = _single_table_prep(model, mesh, n_entities, np_, dp, d, other,
+                                  bt_pad_fill=0.0)
 
     def local_rank(rhs_local, bt_local, rest, q, fidx):
         shard_idx = jax.lax.axis_index("model")
