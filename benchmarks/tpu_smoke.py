@@ -1,0 +1,67 @@
+"""One train step + one eval scoring for EVERY registered model on the REAL
+TPU chip.  Interpret-mode/CPU tests do not prove TPU lowering (a Lorentz
+Pallas kernel shipped a round with an unlowerable sinh — CLAUDE.md), so this
+smoke compiles+executes each model family's actual XLA programs on hardware.
+
+Run: python -m benchmarks.tpu_smoke   (real TPU; ~20-30 min of compiles)
+"""
+import numpy as np
+import jax, jax.numpy as jnp
+
+from complexhyperbolickge_tpu.data.dataset import epoch_batches, synthetic_kg
+from complexhyperbolickge_tpu.models import ModelConfig, all_models, get_model
+from complexhyperbolickge_tpu.train.evaluate import (
+    avg_both, compute_metrics, make_best_ranker,
+)
+from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
+
+
+def main():
+    data = synthetic_kg(n_entities=301, n_relations=4, n_train=512,
+                        n_valid=64, n_test=64, seed=1)
+    n_ent, n_rel, _ = data.get_shape()
+    ok, failed = [], []
+    for name in all_models:
+        try:
+            rank = 8  # even (Givens pairs); AttRH needs half even too
+            cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=rank,
+                              multi_c=True, bias="learn", dtype="float32")
+            if name in ("PoincareGCN", "LorentzGCN", "CompGCN"):
+                class _A:
+                    hidden_dim = 8
+                    layers = 2
+                    edge_dropout = 0.1
+                    dropout = 0.1
+                    opn = "mult"
+                    interaction = "distmult"
+                    basis = 0
+                model = get_model(name)(cfg, _A, data)
+            else:
+                model = get_model(name)(cfg)
+            tcfg = TrainConfig(optimizer="Adam", learning_rate=1e-3,
+                               batch_size=64, neg_sample_size=8)
+            tr = Trainer(model, tcfg, n_ent, n_rel)
+            params, opt = tr.init(jax.random.PRNGKey(0))
+            b, w, _ = epoch_batches(data.get_examples("train")[:128], 64,
+                                    np.random.default_rng(0))
+            params, opt, loss = tr.run_epoch(params, opt, jnp.asarray(b),
+                                             jnp.asarray(w),
+                                             jax.random.PRNGKey(1))
+            assert np.isfinite(loss), f"loss={loss}"
+            rank_fn = make_best_ranker(model, 32)
+            m = avg_both(compute_metrics(model, params, data, "test", 32,
+                                         rank_fn=rank_fn))
+            assert 0.0 <= m["MRR"] <= 1.0
+            ok.append(name)
+            print(f"{name}: loss={loss:.4f} MRR={m['MRR']:.3f} "
+                  f"ranker={type(rank_fn).__name__}", flush=True)
+        except Exception as e:  # noqa: BLE001 — report the full matrix
+            failed.append((name, f"{type(e).__name__}: {e}"))
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+    print(f"\n{len(ok)}/{len(all_models)} models OK on TPU", flush=True)
+    if failed:
+        raise SystemExit(f"failures: {failed}")
+
+
+if __name__ == "__main__":
+    main()

@@ -411,6 +411,13 @@ def test_sharded_hyp_family_pallas_matches_dense(data, name, rank):
                           jnp.asarray(pack.filter_idx)))
     np.testing.assert_array_equal(r, dense_ranks)
 
+    # whole-split scan form (the production compute_metrics path)
+    nb = len(pack.queries) // 16
+    qb = jnp.asarray(pack.queries[: nb * 16].reshape(nb, 16, 3))
+    fb = jnp.asarray(pack.filter_idx[: nb * 16].reshape(nb, 16, -1))
+    rm = np.asarray(ranker.rank_many(sp, qb, fb)).reshape(-1)
+    np.testing.assert_array_equal(rm, dense_ranks[: nb * 16])
+
 
 def test_make_best_sharded_ranker_selects(data, setup):
     from complexhyperbolickge_tpu.parallel import make_best_sharded_ranker
