@@ -23,7 +23,9 @@ def main():
     ok, failed = [], []
     for name in all_models:
         try:
-            rank = 8  # even (Givens pairs); AttRH needs half even too
+            # even rank (Givens pairs; AttRH needs even halves); IFFTH
+            # additionally requires rank//2 + 1 even (models/hyperbolic.py)
+            rank = 6 if name == "IFFTH" else 8
             cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=rank,
                               multi_c=True, bias="learn", dtype="float32")
             if name in ("PoincareGCN", "LorentzGCN", "CompGCN"):
