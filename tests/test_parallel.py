@@ -419,6 +419,39 @@ def test_sharded_hyp_family_pallas_matches_dense(data, name, rank):
     np.testing.assert_array_equal(rm, dense_ranks[: nb * 16])
 
 
+@pytest.mark.parametrize("bias,gamma", [("none", 0.0), ("constant", 0.7)])
+def test_sharded_rankers_other_bias_modes(data, bias, gamma):
+    """bias='none'/'constant' branches of BOTH sharded rankers (no learned
+    tail bias to psum; constant gamma cancels between score and target)."""
+    from complexhyperbolickge_tpu.parallel import make_sharded_pallas_ranker
+
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=5,
+                      multi_c=True, bias=bias, gamma=gamma, dtype="float32")
+    model = get_model("FFTRotH")(cfg)
+    rng = np.random.default_rng(23)
+    params = {
+        k: jnp.asarray(rng.uniform(-0.5, 0.5, size=shape), dtype=jnp.float32)
+        for k, (shape, _) in model.param_specs().items()
+    }
+    params["c"] = jnp.abs(params["c"]) + 0.5
+
+    mesh = make_mesh((2, 4))
+    pack = data.eval_pack("test", "rhs")
+    dense_ranks = get_ranking(model, params, pack, batch_size=16)
+    q, f = jnp.asarray(pack.queries), jnp.asarray(pack.filter_idx)
+
+    dense_sharded = make_sharded_ranker(model, mesh, N_ENT)
+    np.testing.assert_array_equal(
+        np.asarray(dense_sharded(params, q, f)), dense_ranks
+    )
+    pallas_sharded = make_sharded_pallas_ranker(model, mesh, N_ENT, tile_n=8,
+                                                interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(pallas_sharded(params, q, f)), dense_ranks
+    )
+
+
 def test_make_best_sharded_ranker_selects(data, setup):
     from complexhyperbolickge_tpu.parallel import make_best_sharded_ranker
 
