@@ -15,12 +15,14 @@ SAVE_BASE=${SWEEP_DIR:-sweeps}/${DATASET}/${MODEL}
 SAVE_DIR=$(acquire_run_dir "${SAVE_BASE}")
 echo "run dir: ${SAVE_DIR}"
 
+# MAX_EPOCHS override exists for smoke tests (tests/test_end_to_end.py runs
+# one real trial on the synthetic dataset); sweeps use the reference budget
 python -m complexhyperbolickge_tpu.cli.run \
   --model "${MODEL}" --dataset "${DATASET}" \
   --regularizer "${REGULARIZER}" --reg "${REG}" \
   --optimizer "${OPTIMIZER}" --rank "${RANK}" \
   --batch_size "${BATCH}" --neg_sample_size "${NEG}" \
   --learning_rate "${LR}" --double_neg "${DOUBLE_NEG}" \
-  --multi_c --max_epochs 500 --patience 30 --valid 5 \
+  --multi_c --max_epochs "${MAX_EPOCHS:-500}" --patience 30 --valid 5 \
   --init_size 0.001 --gamma 0.0 --bias learn --dtype float32 \
   --save_dir "${SAVE_DIR}"

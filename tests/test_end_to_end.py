@@ -298,3 +298,41 @@ def test_checkpoint_cast_to_expected_dtype(tmp_path, data):
     with pytest.raises(ValueError, match="entity"):
         load_checkpoint(str(tmp_path), expect_params=bad,
                         cast_to_expected=True)
+
+
+def test_sweep_trial_script_end_to_end(tmp_path):
+    """scripts/tune_fft.sh (the sweep layer, reference tuning_fft.sh) runs a
+    real trial: flock-unique run dir, full CLI protocol, checkpoint +
+    config.json landed.  Synthetic dataset + MAX_EPOCHS=2 keep it fast."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # pin CPU (sitecustomize gotcha)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SWEEP_DIR"] = str(tmp_path)
+    env["MAX_EPOCHS"] = "2"
+    env.setdefault("PATH", "")
+    r = subprocess.run(
+        [os.path.join(repo, "scripts", "tune_fft.sh"),
+         "FFTRotH", "synthetic", "N3", "0.0", "Adam", "5", "64", "4",
+         "0.01", "0"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    base = tmp_path / "synthetic" / "FFTRotH"
+    run_dirs = [p for p in base.iterdir() if p.is_dir()]  # skip .sweep.lock
+    assert len(run_dirs) == 1
+    assert (run_dirs[0] / "state.pkl").exists()
+    assert (run_dirs[0] / "config.json").exists()
+    # same-name second trial must acquire a DIFFERENT flock-unique dir
+    r2 = subprocess.run(
+        [os.path.join(repo, "scripts", "tune_fft.sh"),
+         "FFTRotH", "synthetic", "N3", "0.0", "Adam", "5", "64", "4",
+         "0.01", "0"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
+    assert len([p for p in base.iterdir() if p.is_dir()]) == 2
