@@ -190,8 +190,9 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
     eps = float(ball_eps(jnp.float32))
     other = [k for k in model.param_specs() if k not in _ENTITY_PARAMS]
 
-    # pad-row bt = -1e30: unreachable by any threshold (the single-device
-    # kernel's trick), so the mask only needs to cover filters
+    # pad-row bt = -1e30 (the single-device kernel's trick) AND the shared
+    # mask's pad-row bits both exclude pad rows — belt and suspenders since
+    # the mask builder is shared with the zero-bias hyp kernels
     prep_jit = _single_table_prep(model, mesh, n_entities, np_, dp, d, other,
                                   bt_pad_fill=-1e30)
 
@@ -236,6 +237,21 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
     return _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other)
 
 
+def _bt_row_and_rest(model, params, np_: int, n_entities: int, other,
+                     bt_pad_fill: float):
+    """(1, np_) tail-bias row (pad slots carry bt_pad_fill; zeroed unless
+    bias='learn') + the replicated non-entity params — shared by every
+    family's table prep."""
+    bt = params["bt"][:, 0].astype(jnp.float32)
+    if model.cfg.bias != "learn":
+        bt = jnp.zeros_like(bt)
+    bt_row = jnp.full((1, np_), bt_pad_fill, jnp.float32)
+    # entity rows may exceed n_entities (mesh-padded training params)
+    n = params["bt"].shape[0]
+    bt_row = bt_row.at[0, :min(n, n_entities)].set(bt[:n_entities])
+    return bt_row, {k: params[k] for k in other}
+
+
 def _single_table_prep(model, mesh, n_entities: int, np_: int, dp: int,
                        d: int, other, bt_pad_fill: float):
     """jitted per-params table prep shared by the single-entity-table family
@@ -247,12 +263,8 @@ def _single_table_prep(model, mesh, n_entities: int, np_: int, dp: int,
         ent = params["entity"].astype(jnp.float32)
         n = ent.shape[0]  # may exceed n_entities (mesh-padded training)
         rhs = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(ent[:, :d])
-        bt = params["bt"][:, 0].astype(jnp.float32)
-        if model.cfg.bias != "learn":
-            bt = jnp.zeros_like(bt)
-        bt_row = jnp.full((1, np_), bt_pad_fill, jnp.float32)
-        bt_row = bt_row.at[0, :min(n, n_entities)].set(bt[:n_entities])
-        rest = {k: params[k] for k in other}
+        bt_row, rest = _bt_row_and_rest(model, params, np_, n_entities,
+                                        other, bt_pad_fill)
         return rhs, bt_row, rest
 
     return jax.jit(_prep, out_shardings=(
@@ -373,12 +385,8 @@ def make_sharded_attrh_ranker(model, mesh, n_entities: int, tile_n: int = 512,
         n = ent.shape[0]
         rot = jnp.zeros((np_, dp), jnp.float32).at[:n, :half].set(ent[:, :half])
         ref = jnp.zeros((np_, dp), jnp.float32).at[:n, :half].set(ent[:, half:d])
-        bt = params["bt"][:, 0].astype(jnp.float32)
-        if model.cfg.bias != "learn":
-            bt = jnp.zeros_like(bt)
-        bt_row = jnp.zeros((1, np_), jnp.float32)
-        bt_row = bt_row.at[0, :min(n, n_entities)].set(bt[:n_entities])
-        rest = {k: params[k] for k in other}
+        bt_row, rest = _bt_row_and_rest(model, params, np_, n_entities,
+                                        other, bt_pad_fill=0.0)
         return rot, ref, bt_row, rest
 
     prep_jit = jax.jit(_prep, out_shardings=(

@@ -314,7 +314,6 @@ def test_sweep_trial_script_end_to_end(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["SWEEP_DIR"] = str(tmp_path)
     env["MAX_EPOCHS"] = "2"
-    env.setdefault("PATH", "")
     r = subprocess.run(
         [os.path.join(repo, "scripts", "tune_fft.sh"),
          "FFTRotH", "synthetic", "N3", "0.0", "Adam", "5", "64", "4",
