@@ -443,6 +443,115 @@ def test_compgcn_end_to_end_learning_matches_executed_reference():
     print(f"CompGCN end-to-end: ours={mrr_ours:.3f} ref={mrr_ref:.3f}")
 
 
+def test_poincaregcn_end_to_end_learning_matches_executed_reference():
+    """PoincareGCN end-to-end training parity, same design as the CompGCN
+    test above (the hyperbolic conv stack + RotH-style decoder + per-layer
+    curvature MLPs all execute on the reference side via the torch_scatter
+    stub).  LorentzGCN has no reference counterpart to execute: its
+    forward returns a 3-tuple the reference's own layer stack cannot unpack
+    (lorentzgnn.py:79 — documented crash; our implementation fixes it).
+
+    Recipe note: this stack has a long warmup plateau and then a SHARP
+    transition — probed curves at lr=1e-2: ~chance through ep 20,
+    mid-transition at ep 30-50 (where run-to-run numeric jitter, e.g. the
+    conftest x64 flag, shifts the crossing by a few epochs), converged
+    near MRR 1.0 after (the permutation KG is fully solvable by the
+    RotH-style decoder, unlike CompGCN's distmult above; measured in this
+    env at ep 70: ours 0.995, ref 1.000).  lr 3e-2 / 5e-3 never take off
+    within 30 ep.  70 epochs puts both stacks firmly on the converged
+    plateau, where the band is meaningful — comparing mid-transition MRRs
+    would only measure RNG-stream timing.  multi_c=False is untestable:
+    the reference's own non-multi_c branch crashes (poincaregnn.py:474
+    passes a str dtype to torch.zeros)."""
+    from complexhyperbolickge_tpu.data.dataset import KGData, epoch_batches
+    from complexhyperbolickge_tpu.models import ModelConfig, get_model
+    from complexhyperbolickge_tpu.train.evaluate import avg_both, compute_metrics
+    from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
+    from tests.reference_loader import make_args
+
+    import copy
+    import jax
+
+    n_ent, rank, hidden, batch, neg, lr, epochs = 100, 16, 16, 100, 30, 1e-2, 70
+    rng = np.random.default_rng(5)
+    offsets = [1, 9, 31]
+    triples = np.asarray(
+        [(i, k, (i + off) % n_ent)
+         for k, off in enumerate(offsets) for i in range(n_ent)],
+        dtype=np.int64,
+    )
+    triples = triples[rng.permutation(len(triples))]
+    nt = len(triples) // 6
+    data = KGData(splits={"train": triples[2 * nt:], "valid": triples[:nt],
+                          "test": triples[nt: 2 * nt]}, filters=None)
+    n_ent_, n_rel, _ = data.get_shape()
+
+    mod = load("models.hyperbolicgnn.poincaregnn")
+    args = make_args(
+        sizes=(n_ent_, n_rel, n_ent_), rank=rank, hidden_dim=hidden,
+        edge_dropout=0.0, dropout=0.0, layers=2, multi_c=True, dtype="float",
+    )
+    torch.manual_seed(0)
+    ref = mod.PoincareGCN(args, _FakeDataset(data.get_examples("train"))).float()
+    opt = torch.optim.Adam(ref.parameters(), lr=lr)
+    ex = torch.from_numpy(data.get_examples("train").astype(np.int64))
+    g = torch.Generator().manual_seed(0)
+    for _ in range(epochs):
+        order = torch.randperm(len(ex), generator=g)
+        for i in range(0, len(ex), batch):
+            b = ex[order[i: i + batch]]
+            pos, _ = ref(b[:, :2], b[:, 2].unsqueeze(1))
+            negs = torch.randint(0, n_ent_ - 1, (b.shape[0], neg), generator=g)
+            negs = torch.where(negs < b[:, 2].unsqueeze(-1), negs, negs + 1)
+            neg_s, _ = ref(b[:, :2], negs)
+            loss = -torch.cat([
+                torch.nn.functional.logsigmoid(pos).reshape(-1),
+                torch.nn.functional.logsigmoid(-neg_s).reshape(-1),
+            ]).mean()
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+    ref.eval()
+    with torch.no_grad():
+        test_t = torch.from_numpy(data.get_examples("test").astype(np.int64))
+        _, mrr_d, _ = ref.compute_metrics(
+            test_t, copy.deepcopy(data.get_filters()), batch_size=64
+        )
+    mrr_ref = (mrr_d["lhs"] + mrr_d["rhs"]) / 2
+
+    cfg = ModelConfig(n_entities=n_ent_, n_relations=n_rel, rank=rank,
+                      bias="learn", multi_c=True, dtype="float32")
+
+    class _A:
+        hidden_dim = hidden
+        layers = 2
+        edge_dropout = 0.0
+        dropout = 0.0
+        opn = "mult"
+        interaction = "distmult"
+        basis = 0
+
+    mine = get_model("PoincareGCN")(cfg, _A, data)
+    tcfg = TrainConfig(optimizer="Adam", learning_rate=lr, batch_size=batch,
+                       neg_sample_size=neg, regularizer="N3", reg=0.0)
+    trainer = Trainer(mine, tcfg, n_ent_, n_rel)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    npr = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    for _ in range(epochs):
+        bb, ww, _ = epoch_batches(data.get_examples("train"), batch, npr)
+        key, ek = jax.random.split(key)
+        params, opt_state, _ = trainer.run_epoch(params, opt_state, bb, ww, ek)
+    mrr_ours = avg_both(compute_metrics(mine, params, data, "test", 64))["MRR"]
+
+    # both stacks measured near MRR 1.0 at epoch 70 (see docstring);
+    # 0.9 floors catch a regression back into the transition region
+    assert mrr_ref > 0.9, f"reference failed to converge: {mrr_ref}"
+    assert mrr_ours > 0.9, f"ours failed to converge: {mrr_ours}"
+    assert abs(mrr_ours - mrr_ref) < 0.05, (mrr_ours, mrr_ref)
+    print(f"PoincareGCN end-to-end: ours={mrr_ours:.3f} ref={mrr_ref:.3f}")
+
+
 @pytest.mark.parametrize("basis", [0, 2])
 @pytest.mark.parametrize("interaction", ["distmult", "transe"])
 def test_compgcn_decoder_matches_executed_reference(basis, interaction):
