@@ -23,7 +23,9 @@ record, float64) measured in this container at 1838 triples/s
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "secondary"}.  Set BENCH_SECONDARY=0 to skip the secondary measurements
-(two extra compiles through the remote tunnel).
+(three extra compiles through the remote tunnel: per_query reference-
+semantics sampling, all-entity cross-entropy, and the batch-8000 scaling
+ceiling).
 """
 
 from __future__ import annotations
@@ -65,17 +67,20 @@ def main():
     b = jnp.asarray(batches)
     w = jnp.asarray(weights)
 
-    def measure(tcfg, n_windows):
+    def measure(tcfg, n_windows, bb=None, wb=None):
         """Epoch 1 compiles; epochs 2+ measure steady state.  Median of
         timed windows: single-window readings swing ~±15% through the
         remote-compile tunnel.  run_epoch host-materializes the epoch loss
         (block_until_ready alone is unreliable on this link), so every
         window is fenced on all its device work."""
+        bb = b if bb is None else bb
+        wb = w if wb is None else wb
+        n_tr = bb.shape[0] * bb.shape[1]
         trainer = Trainer(model, tcfg, N_ENT, n_rel)
         params, opt_state = trainer.init(jax.random.PRNGKey(0))
         key = jax.random.PRNGKey(1)
         key, k0 = jax.random.split(key)
-        params, opt_state, loss = trainer.run_epoch(params, opt_state, b, w, k0)
+        params, opt_state, loss = trainer.run_epoch(params, opt_state, bb, wb, k0)
         assert np.isfinite(loss)
         windows = []
         for _ in range(n_windows):
@@ -84,10 +89,10 @@ def main():
             for _ in range(n_epochs):
                 key, k = jax.random.split(key)
                 params, opt_state, loss = trainer.run_epoch(
-                    params, opt_state, b, w, k)
+                    params, opt_state, bb, wb, k)
             dt = time.perf_counter() - t0
             assert np.isfinite(loss)
-            windows.append(n_epochs * n_train / dt)
+            windows.append(n_epochs * n_tr / dt)
         return float(np.median(windows))
 
     tps = measure(
@@ -132,6 +137,25 @@ def main():
                                 regularizer="N3", reg=0.0,
                                 loss="crossentropy"),
                     n_windows=1,
+                ), 1)
+            if time.perf_counter() - t_start < budget_s:
+                # batch-scaling headroom: the b500 step sits at its ~0.35 ms
+                # fixed-overhead floor (ledger); throughput scales super-
+                # linearly with batch.  Same model/loss at batch 8000 shows
+                # the chip's real ceiling (measured ~3.2M triples/s).
+                B8 = 8000
+                ex8 = np.stack(
+                    [rng.integers(0, N_ENT, 30 * B8),
+                     rng.integers(0, n_rel, 30 * B8),
+                     rng.integers(0, N_ENT, 30 * B8)], axis=1,
+                ).astype(np.int32)
+                b8_np, w8_np, _ = epoch_batches(ex8, B8, rng)
+                secondary["pool_b8000_triples_per_sec"] = round(measure(
+                    TrainConfig(optimizer="Adam", learning_rate=3e-4,
+                                batch_size=B8, neg_sample_size=NEG,
+                                regularizer="N3", reg=0.0,
+                                neg_mode="pool", neg_pool_size=512),
+                    n_windows=1, bb=jnp.asarray(b8_np), wb=jnp.asarray(w8_np),
                 ), 1)
         except BaseException as e:  # noqa: BLE001 — headline must survive
             secondary["error"] = f"{type(e).__name__}: {e}"
