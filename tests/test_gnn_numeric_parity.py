@@ -327,7 +327,16 @@ def test_lorentz_conv_matches_executed_reference():
                                rtol=1e-9, atol=1e-11)
 
 
-# ------------------------- CompGCN decoder parity ----------------------------
+# ------------------- end-to-end GNN learning parity --------------------------
+#
+# Full TRAINING parity: both stacks train encoder+decoder on the same
+# structured KG with the same recipe (Adam, BCE-logsigmoid over uniform
+# negatives, dropout 0 so the runs differ only by init/negative RNG
+# streams) and must reach matching filtered-MRR plateaus — the end-to-end
+# complement of the per-conv numeric parity above (possible only because
+# the torch_scatter stub lets the reference GNN stack execute here).
+# Chance filtered MRR on a 100-entity KG is E[1/rank] = H_100/100 ~ 0.052,
+# NOT 1/100 — learning floors below must clear that.
 
 
 class _FakeDataset:
@@ -338,52 +347,50 @@ class _FakeDataset:
         return self._t
 
 
-def test_compgcn_end_to_end_learning_matches_executed_reference():
-    """Full CompGCN TRAINING parity: both stacks train encoder+decoder on
-    the same structured KG (permutation relations) with the same recipe and
-    must reach matching filtered-MRR plateaus — the end-to-end complement
-    of the per-conv numeric parity above (possible only now that the
-    torch_scatter stub lets the reference GNN stack execute).  Edge/feature
-    dropout 0 so the runs differ only by their init/negative RNG streams.
+def _split_kg(triples, seed=5):
+    from complexhyperbolickge_tpu.data.dataset import KGData
 
-    NB the absolute plateau is LOW on this KG (~0.05-0.09 MRR at 2-3x
-    chance, both stacks, at every recipe probed): the distmult decoder has
-    limited capacity for asymmetric permutation relations (the same
-    model-capacity fact that excludes TransE from the shallow learning
-    gates).  The parity signal is that the two stacks agree to ~0.003-0.015
-    across recipes — the band here is 0.05."""
-    from complexhyperbolickge_tpu.data.dataset import KGData, epoch_batches
-    from complexhyperbolickge_tpu.models import ModelConfig, get_model
-    from complexhyperbolickge_tpu.train.evaluate import avg_both, compute_metrics
-    from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
-    from tests.reference_loader import make_args
+    rng = np.random.default_rng(seed)
+    triples = triples[rng.permutation(len(triples))]
+    nt = len(triples) // 6
+    return KGData(splits={"train": triples[2 * nt:], "valid": triples[:nt],
+                          "test": triples[nt: 2 * nt]}, filters=None)
 
-    import copy
-    import jax
 
-    n_ent, rank, hidden, batch, neg, lr, epochs = 100, 16, 16, 100, 30, 1e-2, 20
-    rng = np.random.default_rng(5)
-    offsets = [1, 9, 31]
-    triples = np.asarray(
+def _permutation_kg(n_ent=100, offsets=(1, 9, 31)):
+    """Cyclic-offset relations: asymmetric, fully solvable by rotation-style
+    decoders (PoincareGCN's RotH-style decoder reaches MRR 1.0) but NOT by
+    distmult's symmetric bilinear form."""
+    return _split_kg(np.asarray(
         [(i, k, (i + off) % n_ent)
          for k, off in enumerate(offsets) for i in range(n_ent)],
         dtype=np.int64,
-    )
-    triples = triples[rng.permutation(len(triples))]
-    nt = len(triples) // 6
-    data = KGData(splits={"train": triples[2 * nt:], "valid": triples[:nt],
-                          "test": triples[nt: 2 * nt]}, filters=None)
-    n_ent_, n_rel, _ = data.get_shape()
+    ))
 
-    # ---------------- reference stack (executed) ----------------
-    mod = load("models.euclideangnn")
-    args = make_args(
-        sizes=(n_ent_, n_rel, n_ent_), rank=rank, hidden_dim=hidden,
-        edge_dropout=0.0, dropout=0.0, layers=2, opn="mult", basis=0,
-        interaction="distmult", dtype="float",
-    )
-    torch.manual_seed(0)
-    ref = mod.CompGCN(args, _FakeDataset(data.get_examples("train"))).float()
+
+def _cluster_kg(n_ent=100, n_clusters=10):
+    """Block-structured relations distmult CAN represent: rel 0 = same
+    cluster (symmetric), rel 1 = next cluster (bipartite blocks, thinned to
+    every third pair so it is not fully determined by rel 0)."""
+    rows = []
+    for i in range(n_ent):
+        ci = i // n_clusters
+        for j in range(n_ent):
+            cj = j // n_clusters
+            if i != j and ci == cj:
+                rows.append((i, 0, j))
+            if cj == (ci + 1) % n_clusters and (i + j) % 3 == 0:
+                rows.append((i, 1, j))
+    return _split_kg(np.asarray(rows, dtype=np.int64))
+
+
+def _train_reference_gnn(ref, data, *, batch, neg, lr, epochs):
+    """Reference-side recipe: Adam over -logsigmoid(pos) - logsigmoid(-neg)
+    with per-query uniform negatives (resampled to exclude the gold tail).
+    Returns the filtered test MRR averaged over both directions."""
+    import copy
+
+    n_ent_, _, _ = data.get_shape()
     opt = torch.optim.Adam(ref.parameters(), lr=lr)
     ex = torch.from_numpy(data.get_examples("train").astype(np.int64))
     g = torch.Generator().manual_seed(0)
@@ -408,9 +415,56 @@ def test_compgcn_end_to_end_learning_matches_executed_reference():
         _, mrr_d, _ = ref.compute_metrics(
             test_t, copy.deepcopy(data.get_filters()), batch_size=64
         )
-    mrr_ref = (mrr_d["lhs"] + mrr_d["rhs"]) / 2
+    return (mrr_d["lhs"] + mrr_d["rhs"]) / 2
 
-    # ------------------------- our stack -------------------------
+
+def _train_ours_gnn(mine, data, *, batch, neg, lr, epochs):
+    """Our side of the same recipe (Trainer's default sigmoid loss over
+    per-query uniform negatives).  Returns the filtered test MRR."""
+    from complexhyperbolickge_tpu.data.dataset import epoch_batches
+    from complexhyperbolickge_tpu.train.evaluate import avg_both, compute_metrics
+    from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
+
+    import jax
+
+    n_ent_, n_rel, _ = data.get_shape()
+    tcfg = TrainConfig(optimizer="Adam", learning_rate=lr, batch_size=batch,
+                       neg_sample_size=neg, regularizer="N3", reg=0.0)
+    trainer = Trainer(mine, tcfg, n_ent_, n_rel)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    npr = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    for _ in range(epochs):
+        bb, ww, _ = epoch_batches(data.get_examples("train"), batch, npr)
+        key, ek = jax.random.split(key)
+        params, opt_state, _ = trainer.run_epoch(params, opt_state, bb, ww, ek)
+    return avg_both(compute_metrics(mine, params, data, "test", 64))["MRR"]
+
+
+def test_compgcn_end_to_end_learning_matches_executed_reference():
+    """CompGCN end-to-end on the CLUSTER KG — distmult's symmetric bilinear
+    form genuinely learns it (probed reference curve: MRR 0.61 at ep 10
+    rising to 0.69 at ep 40, vs ~0.05 chance; on the permutation KG every
+    probed recipe stays AT chance, which would make a "parity" assertion
+    vacuous — both stacks failing identically is not learning parity)."""
+    from complexhyperbolickge_tpu.models import ModelConfig, get_model
+    from tests.reference_loader import make_args
+
+    rank, hidden, batch, neg, lr, epochs = 16, 16, 100, 30, 1e-2, 30
+    data = _cluster_kg()
+    n_ent_, n_rel, _ = data.get_shape()
+
+    mod = load("models.euclideangnn")
+    args = make_args(
+        sizes=(n_ent_, n_rel, n_ent_), rank=rank, hidden_dim=hidden,
+        edge_dropout=0.0, dropout=0.0, layers=2, opn="mult", basis=0,
+        interaction="distmult", dtype="float",
+    )
+    torch.manual_seed(0)
+    ref = mod.CompGCN(args, _FakeDataset(data.get_examples("train"))).float()
+    mrr_ref = _train_reference_gnn(ref, data, batch=batch, neg=neg, lr=lr,
+                                   epochs=epochs)
+
     cfg = ModelConfig(n_entities=n_ent_, n_relations=n_rel, rank=rank,
                       bias="learn", dtype="float32")
 
@@ -424,66 +478,43 @@ def test_compgcn_end_to_end_learning_matches_executed_reference():
         basis = 0
 
     mine = get_model("CompGCN")(cfg, _A, data)
-    tcfg = TrainConfig(optimizer="Adam", learning_rate=lr, batch_size=batch,
-                       neg_sample_size=neg, regularizer="N3", reg=0.0)
-    trainer = Trainer(mine, tcfg, n_ent_, n_rel)
-    params, opt_state = trainer.init(jax.random.PRNGKey(0))
-    npr = np.random.default_rng(0)
-    key = jax.random.PRNGKey(1)
-    for _ in range(epochs):
-        bb, ww, _ = epoch_batches(data.get_examples("train"), batch, npr)
-        key, ek = jax.random.split(key)
-        params, opt_state, _ = trainer.run_epoch(params, opt_state, bb, ww, ek)
-    mrr_ours = avg_both(compute_metrics(mine, params, data, "test", 64))["MRR"]
+    mrr_ours = _train_ours_gnn(mine, data, batch=batch, neg=neg, lr=lr,
+                               epochs=epochs)
 
-    chance = 2.0 / n_ent_
-    assert mrr_ref > 2 * chance, f"reference failed to learn: {mrr_ref}"
-    assert mrr_ours > 2 * chance, f"ours failed to learn: {mrr_ours}"
-    assert abs(mrr_ours - mrr_ref) < 0.05, (mrr_ours, mrr_ref)
+    # chance filtered MRR ~0.052; measured here: ours 0.714, ref 0.666
+    # (the plateau drifts slowly upward with epochs — ref 0.61@10 ->
+    # 0.69@40 — so the band absorbs plateau-drift, not just RNG noise)
+    assert mrr_ref > 0.3, f"reference failed to learn: {mrr_ref}"
+    assert mrr_ours > 0.3, f"ours failed to learn: {mrr_ours}"
+    assert abs(mrr_ours - mrr_ref) < 0.08, (mrr_ours, mrr_ref)
     print(f"CompGCN end-to-end: ours={mrr_ours:.3f} ref={mrr_ref:.3f}")
 
 
 def test_poincaregcn_end_to_end_learning_matches_executed_reference():
-    """PoincareGCN end-to-end training parity, same design as the CompGCN
-    test above (the hyperbolic conv stack + RotH-style decoder + per-layer
-    curvature MLPs all execute on the reference side via the torch_scatter
-    stub).  LorentzGCN has no reference counterpart to execute: its
-    forward returns a 3-tuple the reference's own layer stack cannot unpack
-    (lorentzgnn.py:79 — documented crash; our implementation fixes it).
+    """PoincareGCN end-to-end on the PERMUTATION KG (the hyperbolic conv
+    stack + RotH-style decoder + per-layer curvature MLPs all execute on
+    the reference side via the torch_scatter stub).  LorentzGCN has no
+    reference counterpart to execute: its forward returns a 3-tuple the
+    reference's own layer stack cannot unpack (lorentzgnn.py:79 —
+    documented crash; our implementation fixes it).
 
     Recipe note: this stack has a long warmup plateau and then a SHARP
     transition — probed curves at lr=1e-2: ~chance through ep 20,
     mid-transition at ep 30-50 (where run-to-run numeric jitter, e.g. the
     conftest x64 flag, shifts the crossing by a few epochs), converged
     near MRR 1.0 after (the permutation KG is fully solvable by the
-    RotH-style decoder, unlike CompGCN's distmult above; measured in this
-    env at ep 70: ours 0.995, ref 1.000).  lr 3e-2 / 5e-3 never take off
-    within 30 ep.  70 epochs puts both stacks firmly on the converged
-    plateau, where the band is meaningful — comparing mid-transition MRRs
-    would only measure RNG-stream timing.  multi_c=False is untestable:
-    the reference's own non-multi_c branch crashes (poincaregnn.py:474
-    passes a str dtype to torch.zeros)."""
-    from complexhyperbolickge_tpu.data.dataset import KGData, epoch_batches
+    RotH-style decoder, unlike CompGCN's distmult; measured in this env at
+    ep 70: ours 0.995, ref 1.000).  lr 3e-2 / 5e-3 never take off within
+    30 ep.  70 epochs puts both stacks firmly on the converged plateau,
+    where the band is meaningful — comparing mid-transition MRRs would
+    only measure RNG-stream timing.  multi_c=False is untestable: the
+    reference's own non-multi_c branch crashes (poincaregnn.py:474 passes
+    a str dtype to torch.zeros)."""
     from complexhyperbolickge_tpu.models import ModelConfig, get_model
-    from complexhyperbolickge_tpu.train.evaluate import avg_both, compute_metrics
-    from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
     from tests.reference_loader import make_args
 
-    import copy
-    import jax
-
-    n_ent, rank, hidden, batch, neg, lr, epochs = 100, 16, 16, 100, 30, 1e-2, 70
-    rng = np.random.default_rng(5)
-    offsets = [1, 9, 31]
-    triples = np.asarray(
-        [(i, k, (i + off) % n_ent)
-         for k, off in enumerate(offsets) for i in range(n_ent)],
-        dtype=np.int64,
-    )
-    triples = triples[rng.permutation(len(triples))]
-    nt = len(triples) // 6
-    data = KGData(splits={"train": triples[2 * nt:], "valid": triples[:nt],
-                          "test": triples[nt: 2 * nt]}, filters=None)
+    rank, hidden, batch, neg, lr, epochs = 16, 16, 100, 30, 1e-2, 70
+    data = _permutation_kg()
     n_ent_, n_rel, _ = data.get_shape()
 
     mod = load("models.hyperbolicgnn.poincaregnn")
@@ -493,31 +524,8 @@ def test_poincaregcn_end_to_end_learning_matches_executed_reference():
     )
     torch.manual_seed(0)
     ref = mod.PoincareGCN(args, _FakeDataset(data.get_examples("train"))).float()
-    opt = torch.optim.Adam(ref.parameters(), lr=lr)
-    ex = torch.from_numpy(data.get_examples("train").astype(np.int64))
-    g = torch.Generator().manual_seed(0)
-    for _ in range(epochs):
-        order = torch.randperm(len(ex), generator=g)
-        for i in range(0, len(ex), batch):
-            b = ex[order[i: i + batch]]
-            pos, _ = ref(b[:, :2], b[:, 2].unsqueeze(1))
-            negs = torch.randint(0, n_ent_ - 1, (b.shape[0], neg), generator=g)
-            negs = torch.where(negs < b[:, 2].unsqueeze(-1), negs, negs + 1)
-            neg_s, _ = ref(b[:, :2], negs)
-            loss = -torch.cat([
-                torch.nn.functional.logsigmoid(pos).reshape(-1),
-                torch.nn.functional.logsigmoid(-neg_s).reshape(-1),
-            ]).mean()
-            opt.zero_grad()
-            loss.backward()
-            opt.step()
-    ref.eval()
-    with torch.no_grad():
-        test_t = torch.from_numpy(data.get_examples("test").astype(np.int64))
-        _, mrr_d, _ = ref.compute_metrics(
-            test_t, copy.deepcopy(data.get_filters()), batch_size=64
-        )
-    mrr_ref = (mrr_d["lhs"] + mrr_d["rhs"]) / 2
+    mrr_ref = _train_reference_gnn(ref, data, batch=batch, neg=neg, lr=lr,
+                                   epochs=epochs)
 
     cfg = ModelConfig(n_entities=n_ent_, n_relations=n_rel, rank=rank,
                       bias="learn", multi_c=True, dtype="float32")
@@ -527,22 +535,10 @@ def test_poincaregcn_end_to_end_learning_matches_executed_reference():
         layers = 2
         edge_dropout = 0.0
         dropout = 0.0
-        opn = "mult"
-        interaction = "distmult"
-        basis = 0
 
     mine = get_model("PoincareGCN")(cfg, _A, data)
-    tcfg = TrainConfig(optimizer="Adam", learning_rate=lr, batch_size=batch,
-                       neg_sample_size=neg, regularizer="N3", reg=0.0)
-    trainer = Trainer(mine, tcfg, n_ent_, n_rel)
-    params, opt_state = trainer.init(jax.random.PRNGKey(0))
-    npr = np.random.default_rng(0)
-    key = jax.random.PRNGKey(1)
-    for _ in range(epochs):
-        bb, ww, _ = epoch_batches(data.get_examples("train"), batch, npr)
-        key, ek = jax.random.split(key)
-        params, opt_state, _ = trainer.run_epoch(params, opt_state, bb, ww, ek)
-    mrr_ours = avg_both(compute_metrics(mine, params, data, "test", 64))["MRR"]
+    mrr_ours = _train_ours_gnn(mine, data, batch=batch, neg=neg, lr=lr,
+                               epochs=epochs)
 
     # both stacks measured near MRR 1.0 at epoch 70 (see docstring);
     # 0.9 floors catch a regression back into the transition region
@@ -550,6 +546,7 @@ def test_poincaregcn_end_to_end_learning_matches_executed_reference():
     assert mrr_ours > 0.9, f"ours failed to converge: {mrr_ours}"
     assert abs(mrr_ours - mrr_ref) < 0.05, (mrr_ours, mrr_ref)
     print(f"PoincareGCN end-to-end: ours={mrr_ours:.3f} ref={mrr_ref:.3f}")
+
 
 
 @pytest.mark.parametrize("basis", [0, 2])
