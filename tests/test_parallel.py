@@ -227,6 +227,77 @@ def test_crossentropy_training_on_mesh_matches_single_device(data, setup):
         )
 
 
+def test_bce_training_on_mesh_matches_single_device(data, setup):
+    """BCE (label-pack) training on a (2,4) mesh with a PADDED entity table:
+    dense_labels scatters at the REAL width and zero-pads, and the loss masks
+    pad columns (train/losses.py::bce_loss) — loss and updated real rows must
+    match single-device.  Labels ride shard_epoch_arrays' third slot (batch
+    dim on 'data').  SGD for the repo-wide trajectory-parity rule."""
+    model, params = setup
+    n_ent, n_rel, _ = data.get_shape()
+    tcfg = TrainConfig(learning_rate=0.001, batch_size=64, neg_sample_size=0,
+                       loss="binarycrossentropy", smoothing=0.1,
+                       optimizer="SGD")
+    trainer = Trainer(model, tcfg, n_ent, n_rel)
+
+    rows, lab = data.label_pack("train")
+    b, w, lab_b = epoch_batches(rows, tcfg.batch_size,
+                                np.random.default_rng(0), labels=lab)
+    key = jax.random.PRNGKey(42)
+
+    p1, _, loss1 = trainer.run_epoch(
+        jax.tree.map(jnp.copy, params), trainer.tx.init(params), b, w, key,
+        labels=lab_b,
+    )
+    mesh = make_mesh((2, 4))
+    sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    sb, sw, slab = shard_epoch_arrays(mesh, jnp.asarray(b), jnp.asarray(w),
+                                      jnp.asarray(lab_b))
+    p2, _, loss2 = trainer.run_epoch(sp, trainer.tx.init(sp), sb, sw, key,
+                                     labels=slab)
+
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    for k in ("entity", "bh", "bt"):
+        assert not np.asarray(p2[k][N_ENT:]).any(), k
+    p2 = _unpad(p2, mesh)
+    for (k, a), (_, c) in zip(sorted(p1.items()), sorted(p2.items())):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-5, atol=2e-6, err_msg=k
+        )
+
+
+def test_signed_ce_training_on_mesh_matches_single_device(data, setup):
+    """The labelless binarycrossentropy branch (signed_logsigmoid_ce_loss) on
+    a (4,2) mesh: pad columns are zeroed out of log_prob and the target bump
+    scatters at real indices only — must match single-device."""
+    model, params = setup
+    n_ent, n_rel, _ = data.get_shape()
+    tcfg = TrainConfig(learning_rate=0.001, batch_size=64, neg_sample_size=0,
+                       loss="binarycrossentropy", optimizer="SGD")
+    trainer = Trainer(model, tcfg, n_ent, n_rel)
+
+    ex = data.get_examples("train")
+    b, w, _ = epoch_batches(ex, tcfg.batch_size, np.random.default_rng(0))
+    key = jax.random.PRNGKey(42)
+
+    p1, _, loss1 = trainer.run_epoch(
+        jax.tree.map(jnp.copy, params), trainer.tx.init(params), b, w, key
+    )
+    mesh = make_mesh((4, 2))
+    sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    sb, sw, _ = shard_epoch_arrays(mesh, jnp.asarray(b), jnp.asarray(w))
+    p2, _, loss2 = trainer.run_epoch(sp, trainer.tx.init(sp), sb, sw, key)
+
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    for k in ("entity", "bh", "bt"):
+        assert not np.asarray(p2[k][N_ENT:]).any(), k
+    p2 = _unpad(p2, mesh)
+    for (k, a), (_, c) in zip(sorted(p1.items()), sorted(p2.items())):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-5, atol=2e-6, err_msg=k
+        )
+
+
 def test_gnn_training_on_mesh_matches_single_device():
     """CompGCN (full-graph encoder: segment-sum message passing) trained on a
     (4,2) mesh with sharded params/batches must match single-device training —
