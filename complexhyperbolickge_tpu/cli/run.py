@@ -361,12 +361,12 @@ def train(args) -> dict:
             tree, sizes[0], padded_rows(sizes[0], mesh.shape["model"])
         )
 
-    if mesh is not None and mesh.shape["model"] > 1 \
-            and not getattr(model, "is_gnn", False):
+    if mesh is not None and mesh.shape["model"] > 1:
         from complexhyperbolickge_tpu.parallel import make_best_sharded_ranker
 
         # odd entity counts are handled inside the ranker (zero-pad + mask);
-        # CHYP models on TPU get the fused Pallas kernel per shard
+        # CHYP models on TPU get the fused Pallas kernel per shard; GNN
+        # models shard the ENCODED node table (encoder stays replicated)
         rank_fn = make_best_sharded_ranker(
             model, mesh, sizes[0], getattr(args, "eval_backend", "auto")
         )

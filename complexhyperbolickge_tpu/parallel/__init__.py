@@ -10,6 +10,7 @@ from complexhyperbolickge_tpu.parallel.mesh import (  # noqa: F401
 from complexhyperbolickge_tpu.parallel.ranking import (  # noqa: F401
     make_best_sharded_ranker,
     make_sharded_attrh_ranker,
+    make_sharded_gnn_ranker,
     make_sharded_hyp_ranker,
     make_sharded_pallas_ranker,
     make_sharded_ranker,

@@ -157,6 +157,116 @@ def make_sharded_ranker(model, mesh, n_entities: int):
     return ranker
 
 
+def make_sharded_gnn_ranker(model, mesh, n_entities: int):
+    """Entity-sharded eval for GNN models: (params, q, fidx) -> ranks (B,).
+
+    The full-graph encoder runs ONCE per params version, replicated — its
+    cost is per-EDGE (message passing over the whole graph), not per-query,
+    and it needs every node's neighbourhood.  The ENCODED node table and the
+    bias tables are then row-sharded over 'model' and ranking proceeds like
+    make_sharded_ranker: each shard scores the query block against its local
+    slice of encoded nodes and contributes a local count to one psum.  This
+    splits the eval sweep's (B, N) matmul + entity-table stream — the actual
+    long axis at YAGO scale — across the mesh.
+
+    Reference semantics: cached forward_base during eval (gnnbase.py:240)
+    + filtered ranking over all entities (base.py:228-280).
+    """
+    n_shards = mesh.shape["model"]
+    np_ = padded_rows(n_entities, n_shards)
+    shard_n = np_ // n_shards
+    row_sh = NamedSharding(mesh, P("model", None))
+    rep = NamedSharding(mesh, P())
+
+    # dropout-free eval encode (the reference's model.eval() forward_base)
+    encode = jax.jit(lambda p: model.encode(p))
+    rest_keys = [k for k in model.param_specs() if k not in _ENTITY_PARAMS]
+
+    def local_rank(x_local, bh_local, bt_local, rel_pack, rest, q, fidx):
+        shard_idx = jax.lax.axis_index("model")
+        lo = shard_idx * shard_n
+        b = q.shape[0]
+
+        # psum-gather the query heads' ENCODED rows + head biases, then run
+        # get_queries against a dense (B, D) mini-cache so model code is
+        # unchanged (same trick as make_sharded_ranker)
+        heads = _gather_rows_sharded(x_local, q[:, 0], lo, shard_n)
+        bh = _gather_rows_sharded(bh_local, q[:, 0], lo, shard_n)
+        q_local = jnp.stack([jnp.arange(b, dtype=q.dtype), q[:, 1]], axis=1)
+        lhs, lhs_b = model.get_queries(
+            {**rest, "bh": bh}, q_local, cache=(heads, rel_pack)
+        )
+
+        s = model.sim(lhs, x_local, all_pairs=True)  # (B, shard_n)
+        if model.cfg.bias == "learn":
+            s = lhs_b + bt_local[None, :, 0] + s
+        elif model.cfg.bias == "constant":
+            s = s + model.cfg.gamma
+
+        # pad rows (global id >= n_entities) never count
+        gid = lo + jnp.arange(shard_n)
+        s = jnp.where((gid < n_entities)[None, :], s, -jnp.inf)
+
+        # gold-tail score: only the owning shard contributes
+        t_local = q[:, 2] - lo
+        owns = (t_local >= 0) & (t_local < shard_n)
+        t_safe = jnp.clip(t_local, 0, shard_n - 1)
+        target_local = jnp.take_along_axis(s, t_safe[:, None], axis=1)[:, 0]
+        target = jax.lax.psum(
+            jnp.where(owns, target_local, jnp.zeros_like(target_local)),
+            axis_name="model",
+        )
+
+        # filter ids owned by other shards remap to shard_n (positive OOB ->
+        # dropped; negative locals would WRAP in .at[])
+        rows = jnp.arange(b)[:, None]
+        f = fidx.astype(jnp.int32)
+        f_local = jnp.where((f >= lo) & (f < lo + shard_n), f - lo, shard_n)
+        s = s.at[rows, f_local].set(-1e6, mode="drop")
+
+        count = jnp.sum(s >= target[:, None], axis=1).astype(jnp.float32)
+        return 1.0 + jax.lax.psum(count, axis_name="model")
+
+    fn = jax.shard_map(
+        local_rank, mesh=mesh,
+        in_specs=(P("model", None), P("model", None), P("model", None),
+                  P(), P(), P(), P()),
+        out_specs=P(), check_vma=False,
+    )
+    jit_fn = jax.jit(fn)
+
+    def _pad(params, x):
+        sub = pad_entity_tree(
+            {"x": x, "bh": params["bh"], "bt": params["bt"]}, n_entities, np_
+        )
+        return sub["x"], sub["bh"], sub["bt"], {k: params[k] for k in rest_keys}
+
+    pad_jit = jax.jit(_pad, out_shardings=(row_sh, row_sh, row_sh, rep))
+
+    # encoded+padded tables cached per params version, keyed by a STRONG
+    # reference to the params object (same policy as make_ranker's GNN cache)
+    cache = {"src": None, "tables": None}
+
+    def _tables(params):
+        if cache["src"] is not params:
+            x, rel_pack = encode(params)
+            xs, bhs, bts, rest = pad_jit(params, x)
+            rel_pack = jax.device_put(rel_pack, rep)
+            cache["src"] = params
+            cache["tables"] = (xs, bhs, bts, rel_pack, rest)
+        return cache["tables"]
+
+    @jax.jit
+    def _rank_many(tables, qb, fb):
+        return jax.lax.map(lambda t: fn(*tables, *t), (qb, fb))
+
+    def ranker(params, q, fidx):
+        return jit_fn(*_tables(params), q, fidx)
+
+    ranker.rank_many = lambda params, qb, fb: _rank_many(_tables(params), qb, fb)
+    return ranker
+
+
 def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
                                interpret: bool = False):
     """Entity-sharded ranking with the FUSED Pallas tile kernel per shard.
@@ -478,6 +588,10 @@ def make_best_sharded_ranker(model, mesh, n_entities: int,
     forced with backend='pallas'), else the dense shard_map ranker.
     Failures are LOUD: backend='pallas' re-raises; 'auto' warns before
     degrading."""
+    if getattr(model, "is_gnn", False):
+        # GNN models: encoder replicated, ENCODED table sharded (no Pallas
+        # kernel — the decoder sweep is a plain MXU matmul XLA tiles well)
+        return make_sharded_gnn_ranker(model, mesh, n_entities)
     if backend in ("auto", "pallas"):
         try:
             from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall

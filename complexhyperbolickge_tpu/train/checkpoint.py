@@ -41,10 +41,20 @@ def _to_host(tree):
 
 def _schema(params):
     # metadata only — must NOT materialize device arrays (np.asarray would
-    # copy whole entity tables to host per save/load just to read a dtype)
+    # copy whole entity tables to host per save/load just to read a dtype).
+    # Flat dict-of-arrays keeps the original key format (existing checkpoints
+    # validate unchanged); nested pytrees (GNN params carry a 'gnn' list of
+    # per-layer dicts) key by jax keystr path.
+    if isinstance(params, dict) and not any(
+        isinstance(v, (dict, list, tuple)) for v in params.values()
+    ):
+        return {
+            k: [list(np.shape(v)), str(np.result_type(v))]
+            for k, v in params.items()
+        }
     return {
-        k: [list(np.shape(v)), str(np.result_type(v))]
-        for k, v in params.items()
+        jax.tree_util.keystr(path): [list(np.shape(v)), str(np.result_type(v))]
+        for path, v in jax.tree_util.tree_flatten_with_path(params)[0]
     }
 
 
@@ -144,10 +154,14 @@ def load_checkpoint(path: str, device_put: bool = True,
                 + "\n".join(diffs)
             )
         if cast_to_expected:
-            state["params"] = {
-                k: np.asarray(v, dtype=np.result_type(expect_params[k]))
-                for k, v in state["params"].items()
-            }
+            # structures match (schema check above passed): cast leafwise
+            leaves, treedef = jax.tree.flatten(state["params"])
+            want_leaves = jax.tree.leaves(expect_params)
+            state["params"] = jax.tree.unflatten(
+                treedef,
+                [np.asarray(v, dtype=np.result_type(e))
+                 for v, e in zip(leaves, want_leaves)],
+            )
     if device_put:
         state["params"] = jax.tree.map(jnp.asarray, state["params"])
         if state["opt_state"] is not None:

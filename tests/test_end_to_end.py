@@ -239,6 +239,34 @@ def test_cli_full_protocol(tmp_path):
     np.testing.assert_allclose(metrics["MRR"], out["test"]["MRR"], rtol=1e-5)
 
 
+def test_cli_gnn_full_protocol(tmp_path):
+    """CLI end-to-end for a GNN model WITHOUT a mesh: nested params ('gnn'
+    list of per-layer dicts) must survive checkpoint save (keystr schema),
+    kge-test reload, and --resume.  Previously any CLI GNN run crashed at
+    the first state.pkl write (_schema assumed a flat dict of arrays)."""
+    from complexhyperbolickge_tpu.cli.run import build_parser, train
+    from complexhyperbolickge_tpu.cli.test import test as eval_cli
+
+    base = [
+        "--dataset", "synthetic", "--synthetic_entities", "199",
+        "--model", "CompGCN", "--rank", "8", "--hidden_dim", "8",
+        "--layers", "1", "--edge_dropout", "0.0", "--dropout", "0.0",
+        "--valid", "1", "--patience", "5", "--batch_size", "128",
+        "--eval_batch_size", "64", "--neg_sample_size", "8",
+        "--optimizer", "Adam", "--learning_rate", "0.01", "--bias", "learn",
+        "--dtype", "float32", "--save_dir", str(tmp_path),
+    ]
+    out = train(build_parser().parse_args(base + ["--max_epochs", "1"]))
+    assert 0.0 <= out["test"]["MRR"] <= 1.0
+    assert (tmp_path / "state.pkl").exists()
+    metrics = eval_cli(str(tmp_path))
+    np.testing.assert_allclose(metrics["MRR"], out["test"]["MRR"], rtol=1e-5)
+    # resume restores the nested pytree (schema validate + leafwise cast)
+    out2 = train(build_parser().parse_args(
+        base + ["--max_epochs", "2", "--resume"]))
+    assert 0.0 <= out2["test"]["MRR"] <= 1.0
+
+
 def test_apply_dtype_policy_coerces_f64_on_tpu_only(monkeypatch):
     """kge-test/kge-predict reuse this policy: a config trained with
     --dtype double must coerce to float32 on TPU backends (native or

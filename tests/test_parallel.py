@@ -227,6 +227,63 @@ def test_crossentropy_training_on_mesh_matches_single_device(data, setup):
         )
 
 
+def _gnn_args(**kw):
+    class _Args:
+        hidden_dim = 8
+        layers = 2
+        edge_dropout = 0.0
+        dropout = 0.0
+        opn = "mult"
+        interaction = "distmult"
+        basis = 0
+
+    for k, v in kw.items():
+        setattr(_Args, k, v)
+    return _Args()
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("CompGCN", {}),
+    ("CompGCN", {"interaction": "transe", "opn": "add"}),
+    ("PoincareGCN", {"layers": 1}),
+    ("LorentzGCN", {"layers": 1}),
+])
+def test_sharded_gnn_ranker_matches_dense(data, name, kw):
+    """Entity-sharded GNN eval (encoder replicated, ENCODED table row-sharded
+    over 'model') must reproduce the dense cached-encoder ranking exactly —
+    at the odd N_ENT, on a (2,4) mesh."""
+    from complexhyperbolickge_tpu.parallel import make_sharded_gnn_ranker
+
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, dtype="float32")
+    model = get_model(name)(cfg, _gnn_args(**kw), data)
+    # spread weights so ranks have no float ties (fresh init leaves scores
+    # nearly identical; rank comparisons are exact-equality-sensitive)
+    rng = np.random.default_rng(11)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(
+            rng.uniform(-0.5, 0.5, size=x.shape), dtype=x.dtype
+        ) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        model.init(jax.random.PRNGKey(0)),
+    )
+    pack = data.eval_pack("test", "rhs")
+
+    dense_ranks = get_ranking(model, params, pack, batch_size=16)
+
+    mesh = make_mesh((2, 4))
+    ranker = make_sharded_gnn_ranker(model, mesh, n_ent)
+    r = np.asarray(ranker(params, jnp.asarray(pack.queries),
+                          jnp.asarray(pack.filter_idx)))
+    np.testing.assert_array_equal(r, dense_ranks)
+
+    # whole-split scan form (the production get_ranking path)
+    qb = jnp.asarray(pack.queries[:32].reshape(2, 16, 3))
+    fb = jnp.asarray(pack.filter_idx[:32].reshape(2, 16, -1))
+    rm = np.asarray(ranker.rank_many(params, qb, fb)).reshape(-1)
+    np.testing.assert_array_equal(rm, dense_ranks[:32])
+
+
 def test_bce_training_on_mesh_matches_single_device(data, setup):
     """BCE (label-pack) training on a (2,4) mesh with a PADDED entity table:
     dense_labels scatters at the REAL width and zero-pads, and the loss masks
@@ -408,6 +465,26 @@ def test_cli_with_mesh(tmp_path):
     st = load_checkpoint(str(tmp_path), device_put=False)
     for k in ("entity", "bh", "bt"):
         assert st["params"][k].shape[0] == 199, k  # canonical, not 200-padded
+
+
+def test_cli_with_mesh_gnn(tmp_path):
+    """Full CLI protocol for a GNN model with --mesh 4x2: encoder tables
+    replicated (odd entity count), eval routed through the entity-sharded
+    GNN ranker (make_best_sharded_ranker -> make_sharded_gnn_ranker)."""
+    from complexhyperbolickge_tpu.cli.run import build_parser, train
+
+    args = build_parser().parse_args([
+        "--dataset", "synthetic", "--synthetic_entities", "199",
+        "--model", "CompGCN", "--rank", "8", "--hidden_dim", "8",
+        "--layers", "1", "--edge_dropout", "0.0", "--dropout", "0.0",
+        "--max_epochs", "1", "--valid", "1", "--batch_size", "128",
+        "--eval_batch_size", "64", "--neg_sample_size", "8",
+        "--optimizer", "Adam", "--learning_rate", "0.01", "--bias", "learn",
+        "--dtype", "float32", "--mesh", "4x2",
+        "--save_dir", str(tmp_path),
+    ])
+    out = train(args)
+    assert 0.0 <= out["test"]["MRR"] <= 1.0
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (4, 2)])
