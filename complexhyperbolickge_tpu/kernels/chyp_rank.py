@@ -33,7 +33,18 @@ from complexhyperbolickge_tpu.ops.chyperbolic import swap_neg
 from complexhyperbolickge_tpu.ops.math import ball_eps, round_up
 
 
-def _chyp_scores(lhs2, zn, rhs_t, bt, *, b: int, eps: float):
+_PRECISIONS = {
+    # 'highest': 6-pass f32 emulation on the MXU — scores bitwise-comparable
+    # with the XLA dense ranker (its dot_general also runs HIGHEST).
+    # 'default': single-pass bf16 MXU — the contraction rounds inputs to
+    # bf16; an opt-in throughput mode (see PallasChypRanker.precision).
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _chyp_scores(lhs2, zn, rhs_t, bt, *, b: int, eps: float,
+                 precision: str = "highest"):
     """Shared score math (kernel tile AND the host-side filtered-subtraction
     path): Hermitian form -> cross-ratio -> acosh -> bt - dist^2.  Both
     callers contract over the same padded feature axis with the same
@@ -43,7 +54,7 @@ def _chyp_scores(lhs2, zn, rhs_t, bt, *, b: int, eps: float):
         lhs2, rhs_t,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISIONS[precision],
     )  # (2B, T)
     sr = acc[:b] - 1.0  # Re<z,w> - 1
     si = acc[b:]        # Im<z,w>
@@ -60,7 +71,7 @@ def _chyp_scores(lhs2, zn, rhs_t, bt, *, b: int, eps: float):
 
 
 def _rank_kernel(lhs2_ref, zn_ref, t2_ref, rhs_ref, bt_ref, mask_ref, out_ref,
-                 *, b: int, eps: float):
+                 *, b: int, eps: float, precision: str):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -68,7 +79,7 @@ def _rank_kernel(lhs2_ref, zn_ref, t2_ref, rhs_ref, bt_ref, mask_ref, out_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     score = _chyp_scores(lhs2_ref[:], zn_ref[:], rhs_ref[:], bt_ref[:],
-                         b=b, eps=eps)
+                         b=b, eps=eps, precision=precision)
 
     # int8 vector compares don't lower in Mosaic; use the 0/1 mask
     # arithmetically: count += [score >= t2] * (1 - mask)
@@ -78,7 +89,7 @@ def _rank_kernel(lhs2_ref, zn_ref, t2_ref, rhs_ref, bt_ref, mask_ref, out_ref,
 
 
 def _rank_kernel_nomask(lhs2_ref, zn_ref, t2_ref, rhs_ref, bt_ref, out_ref,
-                        *, b: int, eps: float):
+                        *, b: int, eps: float, precision: str):
     """Maskless tile: counts ALL entities with score >= t2.  Table pad rows
     carry bt = -1e30, so they can never reach any threshold; filtered
     entities are subtracted OUTSIDE the kernel (chyp_rank_counts_nomask) —
@@ -90,14 +101,15 @@ def _rank_kernel_nomask(lhs2_ref, zn_ref, t2_ref, rhs_ref, bt_ref, out_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     score = _chyp_scores(lhs2_ref[:], zn_ref[:], rhs_ref[:], bt_ref[:],
-                         b=b, eps=eps)
+                         b=b, eps=eps, precision=precision)
     keep = jnp.where(score >= t2_ref[:], jnp.float32(1.0), jnp.float32(0.0))
     out_ref[:] += jnp.sum(keep, axis=1)[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_n", "interpret", "precision"))
 def chyp_rank_counts(lhs2, znorm, t2, rhs_pad, bt_row, mask, *, tile_n: int = 512,
-                     interpret: bool = False):
+                     interpret: bool = False, precision: str = "highest"):
     """Counts #{unmasked entities with score >= t2} per query.
 
     lhs2:    (2B, Dp) stacked [lhs; swap_neg(lhs)] query embeddings,
@@ -118,7 +130,7 @@ def chyp_rank_counts(lhs2, znorm, t2, rhs_pad, bt_row, mask, *, tile_n: int = 51
 
     grid = (np_ // tile_n,)
     counts = pl.pallas_call(
-        functools.partial(_rank_kernel, b=b, eps=eps),
+        functools.partial(_rank_kernel, b=b, eps=eps, precision=precision),
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
         grid=grid,
         in_specs=[
@@ -135,9 +147,11 @@ def chyp_rank_counts(lhs2, znorm, t2, rhs_pad, bt_row, mask, *, tile_n: int = 51
     return counts[0]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_n", "interpret", "precision"))
 def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, *,
-                            tile_n: int = 512, interpret: bool = False):
+                            tile_n: int = 512, interpret: bool = False,
+                            precision: str = "highest"):
     """Counts #{non-filtered entities with score >= t2} per query, WITHOUT a
     dense (B, N) mask: the kernel counts every entity over the padded table
     (pad rows carry bt = -1e30, unreachable), and the filtered entities'
@@ -153,7 +167,8 @@ def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, *,
     eps = float(ball_eps(jnp.float32))
 
     counts = pl.pallas_call(
-        functools.partial(_rank_kernel_nomask, b=b, eps=eps),
+        functools.partial(_rank_kernel_nomask, b=b, eps=eps,
+                          precision=precision),
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
         grid=(np_ // tile_n,),
         in_specs=[
@@ -175,7 +190,7 @@ def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, *,
         lhs_pair, rows,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISIONS[precision],
     )  # (B, 2, L)
     sr = acc[:, 0, :] - 1.0
     si = acc[:, 1, :]
@@ -199,15 +214,23 @@ class PallasChypRanker:
     """
 
     def __init__(self, model, batch_size: int, tile_n: int = 512,
-                 interpret: bool = False, masked: bool = True):
+                 interpret: bool = False, masked: bool = True,
+                 precision: str = "highest"):
         from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
 
         assert isinstance(model, FFTUnitBall), "Pallas ranker is CHYP-family only"
         assert model.cfg.bias in ("learn", "none", "constant")
+        assert precision in _PRECISIONS, precision
         self.model = model
         self.batch_size = batch_size
         self.tile_n = tile_n
         self.interpret = interpret
+        # precision='highest' (default): 6-pass f32 MXU emulation — scores
+        # bitwise-comparable with the dense ranker.  'default': single-pass
+        # bf16 MXU contraction (inputs round to bf16) — an opt-in throughput
+        # mode; ranks can shift where bf16 rounding crosses the (exact)
+        # gold-target threshold.
+        self.precision = precision
         # masked=True (default) streams a dense (B, N) int8 filter mask
         # through the kernel — bitwise tie semantics identical to the dense
         # ranker.  masked=False subtracts per-filtered-entity counts instead
@@ -298,12 +321,14 @@ class PallasChypRanker:
             counts = chyp_rank_counts(
                 lhs2, znorm, t2, rhs_pad, bt_row, mask,
                 tile_n=self.tile_n, interpret=self.interpret,
+                precision=self.precision,
             )
         else:
             lhs2, znorm, t2 = self._queries_core(params, q, rhs_pad)
             counts = chyp_rank_counts_nomask(
                 lhs2, znorm, t2, rhs_pad, bt_row, fidx,
                 tile_n=self.tile_n, interpret=self.interpret,
+                precision=self.precision,
             )
         return 1.0 + counts
 
@@ -328,5 +353,6 @@ class PallasChypRanker:
         return self._one(params, q, fidx, rhs_pad, bt_row)
 
 
-def make_pallas_ranker(model, batch_size: int, interpret: bool = False):
-    return PallasChypRanker(model, batch_size, interpret=interpret)
+def make_pallas_ranker(model, batch_size: int, interpret: bool = False,
+                       **kw):
+    return PallasChypRanker(model, batch_size, interpret=interpret, **kw)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from complexhyperbolickge_tpu.kernels.chyp_rank import _PRECISIONS
 from complexhyperbolickge_tpu.ops.math import MIN_NORM, ball_eps, round_up
 
 
@@ -35,7 +36,8 @@ def _artanh(x):
 
 
 def _hyp_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
-                     mask_ref, out_ref, *, eps: float):
+                     mask_ref, out_ref, *, eps: float,
+                     precision: str = "highest"):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -47,7 +49,7 @@ def _hyp_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
         lhs_ref[:], rhs_t,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISIONS[precision],
     )  # (B, T) = <x, v>
     un_sq = jnp.sum(rhs_t * rhs_t, axis=1, keepdims=True).T  # (1, T)
     un = jnp.sqrt(jnp.maximum(un_sq, MIN_NORM * MIN_NORM))
@@ -80,7 +82,8 @@ def _hyp_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
 
 
 def _lorentz_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
-                         mask_ref, out_ref, *, eps: float):
+                         mask_ref, out_ref, *, eps: float,
+                         precision: str = "highest"):
     """BaseLorentz epilogue: folded expmap0_lorentz + hyperboloid distance
     (ops/hyperbolic.py::lorentz_sim_expmap_all; reference
     models/hyperbolic.py:330-334, utils/hyperbolic.py:109-121,218-239)."""
@@ -95,7 +98,7 @@ def _lorentz_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
         lhs_ref[:], rhs_t,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISIONS[precision],
     )  # (B, T) = <x, v>
     un_sq = jnp.sum(rhs_t * rhs_t, axis=1, keepdims=True).T  # (1, T)
     un = jnp.sqrt(jnp.maximum(un_sq, MIN_NORM * MIN_NORM))
@@ -129,7 +132,8 @@ def _lorentz_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
 
 def _attrh_rank_kernel(lhs_rot_ref, lhs_ref_ref, x2r_ref, x2f_ref, c_ref,
                        w0_ref, w1_ref, t2_ref, rhs_rot_ref, rhs_ref_ref,
-                       bt_ref, mask_ref, out_ref):
+                       bt_ref, mask_ref, out_ref, *,
+                       precision: str = "highest"):
     """AttRH epilogue: TWO single-fold Poincare distances (the reference
     scores RAW rhs halves — models/hyperbolic.py:172-184 via
     hyp_distance_multi_c, no expmap0 of the candidate — so gamma folds the
@@ -153,7 +157,7 @@ def _attrh_rank_kernel(lhs_rot_ref, lhs_ref_ref, x2r_ref, x2f_ref, c_ref,
             lhs_ref_[:], rhs_t,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_PRECISIONS[precision],
         )  # (B, T) = <x, v>
         un_sq = jnp.sum(rhs_t * rhs_t, axis=1, keepdims=True).T  # (1, T)
         un = jnp.sqrt(jnp.maximum(un_sq, MIN_NORM * MIN_NORM))
@@ -182,16 +186,17 @@ def _attrh_rank_kernel(lhs_rot_ref, lhs_ref_ref, x2r_ref, x2f_ref, c_ref,
     out_ref[:] += jnp.sum(keep, axis=1)[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_n", "interpret", "precision"))
 def attrh_rank_counts(lhs_rot, lhs_ref, x2r, x2f, c, w0, w1, t2, rhs_rot,
                       rhs_ref, bt_row, mask, *, tile_n: int = 512,
-                      interpret: bool = False):
+                      interpret: bool = False, precision: str = "highest"):
     b, dp = lhs_rot.shape
     np_, _ = rhs_rot.shape
     assert np_ % tile_n == 0
     col = pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     counts = pl.pallas_call(
-        _attrh_rank_kernel,
+        functools.partial(_attrh_rank_kernel, precision=precision),
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
         grid=(np_ // tile_n,),
         in_specs=[
@@ -215,13 +220,15 @@ class PallasAttRHRanker:
     splits the feature axis; round-1 verdict item 8)."""
 
     def __init__(self, model, batch_size: int, tile_n: int = 512,
-                 interpret: bool = False):
+                 interpret: bool = False, precision: str = "highest"):
         from complexhyperbolickge_tpu.models.hyperbolic import AttRH
 
         assert isinstance(model, AttRH)
+        assert precision in _PRECISIONS, precision
         self.model = model
         self.tile_n = tile_n
         self.interpret = interpret
+        self.precision = precision
         self._prep = jax.jit(self._prepare_tables)
         self._qfn = jax.jit(self._queries)
         self._scan = jax.jit(self._rank_scan)
@@ -277,6 +284,7 @@ class PallasAttRHRanker:
             counts = attrh_rank_counts(
                 l_rot, l_ref, x2r, x2f, c, w0, w1, t2, rhs_rot, rhs_ref,
                 bt_row, mask, tile_n=self.tile_n, interpret=self.interpret,
+                precision=self.precision,
             )
             return 1.0 + counts
 
@@ -299,25 +307,28 @@ class PallasAttRHRanker:
         counts = attrh_rank_counts(
             l_rot, l_ref, x2r, x2f, c, w0, w1, t2, rhs_rot, rhs_ref, bt_row,
             mask, tile_n=self.tile_n, interpret=self.interpret,
+            precision=self.precision,
         )
         return 1.0 + counts
 
 
-def make_pallas_attrh_ranker(model, batch_size: int, interpret: bool = False):
-    return PallasAttRHRanker(model, batch_size, interpret=interpret)
+def make_pallas_attrh_ranker(model, batch_size: int, interpret: bool = False,
+                             **kw):
+    return PallasAttRHRanker(model, batch_size, interpret=interpret, **kw)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "family"))
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret",
+                                              "family", "precision"))
 def hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask, *,
                     tile_n: int = 512, interpret: bool = False,
-                    family: str = "poincare"):
+                    family: str = "poincare", precision: str = "highest"):
     b, dp = lhs_pad.shape
     np_, _ = rhs_pad.shape
     assert np_ % tile_n == 0
     eps = float(ball_eps(jnp.float32))
     kernel = _hyp_rank_kernel if family == "poincare" else _lorentz_rank_kernel
     counts = pl.pallas_call(
-        functools.partial(kernel, eps=eps),
+        functools.partial(kernel, eps=eps, precision=precision),
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
         grid=(np_ // tile_n,),
         in_specs=[
@@ -340,7 +351,7 @@ class PallasHypRanker:
     BaseLorentz family (RotLH, HyboNet)."""
 
     def __init__(self, model, batch_size: int, tile_n: int = 512,
-                 interpret: bool = False):
+                 interpret: bool = False, precision: str = "highest"):
         from complexhyperbolickge_tpu.models.hyperbolic import (
             AttRH,
             BaseH,
@@ -349,10 +360,12 @@ class PallasHypRanker:
 
         assert (isinstance(model, BaseH) and not isinstance(model, AttRH)) or \
             isinstance(model, BaseLorentz)
+        assert precision in _PRECISIONS, precision
         self.family = "poincare" if isinstance(model, BaseH) else "lorentz"
         self.model = model
         self.tile_n = tile_n
         self.interpret = interpret
+        self.precision = precision
         self._prep = jax.jit(self._prepare_tables)
         self._qfn = jax.jit(self._queries)
         self._scan = jax.jit(self._rank_scan)
@@ -405,7 +418,7 @@ class PallasHypRanker:
             counts = hyp_rank_counts(
                 lhs_pad, x2, c, t2, rhs_pad, bt_row, mask,
                 tile_n=self.tile_n, interpret=self.interpret,
-                family=self.family,
+                family=self.family, precision=self.precision,
             )
             return 1.0 + counts
 
@@ -425,9 +438,11 @@ class PallasHypRanker:
         lhs_pad, x2, c, t2, mask = self._qfn(params, q, fidx, rhs_pad, bt_row)
         counts = hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask,
                                  tile_n=self.tile_n, interpret=self.interpret,
-                                 family=self.family)
+                                 family=self.family,
+                                 precision=self.precision)
         return 1.0 + counts
 
 
-def make_pallas_hyp_ranker(model, batch_size: int, interpret: bool = False):
-    return PallasHypRanker(model, batch_size, interpret=interpret)
+def make_pallas_hyp_ranker(model, batch_size: int, interpret: bool = False,
+                           **kw):
+    return PallasHypRanker(model, batch_size, interpret=interpret, **kw)

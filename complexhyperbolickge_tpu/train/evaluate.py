@@ -96,13 +96,21 @@ def make_ranker(model, eval_batch_size: int):
     return rank_batch
 
 
-def make_best_ranker(model, eval_batch_size: int, backend: str = "auto"):
+def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
+                     precision: str = "highest"):
     """Pick the fused Pallas ranker for CHYP-family models on TPU (1.6-1.7x the
     dense path, benchmarks/eval_bench.py), else the dense XLA ranker.
 
     A failure to build the Pallas path is LOUD: backend='pallas' re-raises;
     backend='auto' logs a warning with the exception before degrading to the
     dense ranker (a silent fallback would hide kernel rot and a ~1.6x loss).
+
+    precision='highest' (default) keeps the kernels' MXU contractions at
+    6-pass f32 emulation — ranks bitwise-comparable with the dense path.
+    'default' uses the single-pass bf16 MXU form: measured ~1.08x on v5e
+    (the kernels are VPU-transcendental-bound, not MXU-bound) with MRR
+    deltas ~5e-8 at WN18RR scale; the dense fallback ignores it (always
+    exact).
     """
     if backend in ("auto", "pallas"):
         try:
@@ -123,20 +131,23 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto"):
                 from complexhyperbolickge_tpu.kernels import make_pallas_ranker
 
                 return make_pallas_ranker(model, eval_batch_size,
-                                          interpret=not on_tpu)
+                                          interpret=not on_tpu,
+                                          precision=precision)
             if isinstance(model, AttRH) and want:
                 from complexhyperbolickge_tpu.kernels import (
                     make_pallas_attrh_ranker,
                 )
 
                 return make_pallas_attrh_ranker(model, eval_batch_size,
-                                                interpret=not on_tpu)
+                                                interpret=not on_tpu,
+                                                precision=precision)
             hyp_ok = isinstance(model, (BaseH, BaseLorentz))
             if hyp_ok and want:
                 from complexhyperbolickge_tpu.kernels import make_pallas_hyp_ranker
 
                 return make_pallas_hyp_ranker(model, eval_batch_size,
-                                              interpret=not on_tpu)
+                                              interpret=not on_tpu,
+                                              precision=precision)
         except Exception as e:
             if backend == "pallas":
                 raise

@@ -231,3 +231,54 @@ def test_maskless_ranker_matches_masked(setup):
     np.testing.assert_array_equal(
         np.asarray(masked(params, q, f)), np.asarray(maskless(params, q, f))
     )
+
+
+def test_precision_default_ranker_builds_and_matches_on_cpu(setup):
+    """precision='default' (1-pass bf16 MXU on hardware) must build through
+    make_best_ranker and rank; on CPU, DEFAULT and HIGHEST dot_generals are
+    both true f32, so ranks are exactly equal — this pins the plumbing; the
+    numeric deviation story is measured on-chip (~1.08x, MRR delta ~5e-8,
+    README perf table)."""
+    from complexhyperbolickge_tpu.kernels.chyp_rank import PallasChypRanker
+    from complexhyperbolickge_tpu.train.evaluate import make_best_ranker
+
+    data, model, params = setup
+    pack = data.eval_pack("test", "rhs")
+    q, f = jnp.asarray(pack.queries), jnp.asarray(pack.filter_idx)
+
+    exact = PallasChypRanker(model, 64, interpret=True)
+    fast = make_best_ranker(model, 64, backend="pallas", precision="default")
+    assert isinstance(fast, PallasChypRanker) and fast.precision == "default"
+    np.testing.assert_array_equal(
+        np.asarray(fast(params, q, f)), np.asarray(exact(params, q, f))
+    )
+
+
+@pytest.mark.parametrize("name,rank", [("RotH", 8), ("RotLH", 8), ("AttRH", 8)])
+def test_precision_default_hyp_family_matches_on_cpu(name, rank):
+    """The precision knob threads through the Poincare/Lorentz/AttRH kernels
+    too (same CPU-equality pin as the CHYP test above)."""
+    from complexhyperbolickge_tpu.train.evaluate import make_best_ranker
+
+    data = synthetic_kg(n_entities=N_ENT, n_relations=5, n_train=500,
+                        n_valid=50, n_test=64, seed=4)
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=rank,
+                      multi_c=True, bias="learn", dtype="float32")
+    model = get_model(name)(cfg)
+    rng = np.random.default_rng(17)
+    params = {
+        k: jnp.asarray(rng.uniform(-0.5, 0.5, size=shape), dtype=jnp.float32)
+        for k, (shape, _) in model.param_specs().items()
+    }
+    if "c" in params:
+        params["c"] = jnp.abs(params["c"]) + 0.5
+    pack = data.eval_pack("test", "rhs")
+    q, f = jnp.asarray(pack.queries), jnp.asarray(pack.filter_idx)
+
+    exact = make_best_ranker(model, 64, backend="pallas")
+    fast = make_best_ranker(model, 64, backend="pallas", precision="default")
+    assert fast.precision == "default"
+    np.testing.assert_array_equal(
+        np.asarray(fast(params, q, f)), np.asarray(exact(params, q, f))
+    )

@@ -284,6 +284,32 @@ def test_sharded_gnn_ranker_matches_dense(data, name, kw):
     np.testing.assert_array_equal(rm, dense_ranks[:32])
 
 
+@pytest.mark.parametrize("bias,gamma", [("none", 0.0), ("constant", 0.7)])
+def test_sharded_gnn_ranker_other_bias_modes(data, bias, gamma):
+    """bias='none'/'constant' branches of the sharded GNN ranker (no learned
+    tail-bias row to shard; constant gamma adds on the tile side)."""
+    from complexhyperbolickge_tpu.parallel import make_sharded_gnn_ranker
+
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, bias=bias, gamma=gamma, dtype="float32")
+    model = get_model("CompGCN")(cfg, _gnn_args(), data)
+    rng = np.random.default_rng(29)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(
+            rng.uniform(-0.5, 0.5, size=x.shape), dtype=x.dtype
+        ) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        model.init(jax.random.PRNGKey(0)),
+    )
+    pack = data.eval_pack("test", "rhs")
+    dense_ranks = get_ranking(model, params, pack, batch_size=16)
+
+    ranker = make_sharded_gnn_ranker(model, make_mesh((2, 4)), n_ent)
+    r = np.asarray(ranker(params, jnp.asarray(pack.queries),
+                          jnp.asarray(pack.filter_idx)))
+    np.testing.assert_array_equal(r, dense_ranks)
+
+
 def test_bce_training_on_mesh_matches_single_device(data, setup):
     """BCE (label-pack) training on a (2,4) mesh with a PADDED entity table:
     dense_labels scatters at the REAL width and zero-pads, and the loss masks
