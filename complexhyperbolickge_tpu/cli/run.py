@@ -374,7 +374,8 @@ def train(args) -> dict:
         # CHYP models on TPU get the fused Pallas kernel per shard; GNN
         # models shard the ENCODED node table (encoder stays replicated)
         rank_fn = make_best_sharded_ranker(
-            model, mesh, sizes[0], getattr(args, "eval_backend", "auto")
+            model, mesh, sizes[0], getattr(args, "eval_backend", "auto"),
+            precision=getattr(args, "eval_precision", "highest"),
         )
     else:
         rank_fn = make_best_ranker(

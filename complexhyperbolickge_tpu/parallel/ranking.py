@@ -268,7 +268,8 @@ def make_sharded_gnn_ranker(model, mesh, n_entities: int):
 
 
 def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               precision: str = "highest"):
     """Entity-sharded ranking with the FUSED Pallas tile kernel per shard.
 
     Composes the two wins: each model-axis shard sweeps its LOCAL slice of
@@ -341,6 +342,7 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
         counts = chyp_rank_counts(
             lhs2, znorm, t2, rhs_local, bt_local, mask,
             tile_n=tile_n, interpret=interpret,
+            precision=precision,
         )
         return 1.0 + jax.lax.psum(counts, axis_name="model")
 
@@ -410,7 +412,8 @@ def _psum_gold_bias(bt_local, gold_ids, lo, local_np: int):
 
 
 def make_sharded_hyp_ranker(model, mesh, n_entities: int, tile_n: int = 512,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            precision: str = "highest"):
     """Entity-sharded ranking with the fused Poincare/Lorentz tile kernel per
     shard (kernels/hyp_rank.py) — the BaseH family (not AttRH) and the
     BaseLorentz family.  Same layout/collective structure as
@@ -466,6 +469,7 @@ def make_sharded_hyp_ranker(model, mesh, n_entities: int, tile_n: int = 512,
         counts = hyp_rank_counts(
             lhs_pad, x2, c, t2, rhs_local, bt_local, mask,
             tile_n=tile_n, interpret=interpret, family=family,
+            precision=precision,
         )
         return 1.0 + jax.lax.psum(counts, axis_name="model")
 
@@ -473,7 +477,8 @@ def make_sharded_hyp_ranker(model, mesh, n_entities: int, tile_n: int = 512,
 
 
 def make_sharded_attrh_ranker(model, mesh, n_entities: int, tile_n: int = 512,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              precision: str = "highest"):
     """Entity-sharded ranking with the fused AttRH tile kernel per shard
     (kernels/hyp_rank.py::attrh_rank_counts): two half-space Poincare
     distances combined with the relation's learned softmax weights."""
@@ -539,6 +544,7 @@ def make_sharded_attrh_ranker(model, mesh, n_entities: int, tile_n: int = 512,
             l_rot, l_ref, x2r, x2f, c, w[:, 0:1], w[:, 1:2], t2,
             rot_local, ref_local, bt_local, mask,
             tile_n=tile_n, interpret=interpret,
+            precision=precision,
         )
         return 1.0 + jax.lax.psum(counts, axis_name="model")
 
@@ -582,12 +588,14 @@ def _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other,
 
 
 def make_best_sharded_ranker(model, mesh, n_entities: int,
-                             backend: str = "auto"):
+                             backend: str = "auto",
+                             precision: str = "highest"):
     """Sharded-ranker analogue of train/evaluate.py::make_best_ranker: the
     fused Pallas path per model family (on TPU, or interpret-mode when
     forced with backend='pallas'), else the dense shard_map ranker.
     Failures are LOUD: backend='pallas' re-raises; 'auto' warns before
-    degrading."""
+    degrading.  precision: MXU contraction mode for the fused kernels
+    (see make_best_ranker); the dense and GNN paths ignore it (exact)."""
     if getattr(model, "is_gnn", False):
         # GNN models: encoder replicated, ENCODED table sharded (no Pallas
         # kernel — the decoder sweep is a plain MXU matmul XLA tiles well)
@@ -606,16 +614,19 @@ def make_best_sharded_ranker(model, mesh, n_entities: int,
             want = on_tpu or backend == "pallas"
             if isinstance(model, FFTUnitBall) and want:
                 return make_sharded_pallas_ranker(
-                    model, mesh, n_entities, interpret=not on_tpu
+                    model, mesh, n_entities, interpret=not on_tpu,
+                    precision=precision,
                 )
             if isinstance(model, AttRH) and want:
                 return make_sharded_attrh_ranker(
-                    model, mesh, n_entities, interpret=not on_tpu
+                    model, mesh, n_entities, interpret=not on_tpu,
+                    precision=precision,
                 )
             hyp_ok = isinstance(model, (BaseH, BaseLorentz))
             if hyp_ok and want:
                 return make_sharded_hyp_ranker(
-                    model, mesh, n_entities, interpret=not on_tpu
+                    model, mesh, n_entities, interpret=not on_tpu,
+                    precision=precision,
                 )
         except Exception as e:
             if backend == "pallas":

@@ -533,6 +533,25 @@ def test_sharded_pallas_ranker_matches_dense(data, setup, mesh_shape):
     np.testing.assert_array_equal(r, dense_ranks)
 
 
+def test_sharded_pallas_ranker_precision_default_matches_on_cpu(data, setup):
+    """precision='default' threads through the sharded fused ranker (CPU
+    DEFAULT==HIGHEST numerically, so ranks are exactly equal — pins the
+    plumbing; the bf16 deviation story is measured on-chip)."""
+    from complexhyperbolickge_tpu.parallel import make_best_sharded_ranker
+
+    model, params = setup
+    mesh = make_mesh((2, 4))
+    pack = data.eval_pack("test", "rhs")
+    dense_ranks = get_ranking(model, params, pack, batch_size=16)
+
+    ranker = make_best_sharded_ranker(model, mesh, N_ENT, backend="pallas",
+                                      precision="default")
+    r = np.asarray(ranker(shard_params(params, mesh),
+                          jnp.asarray(pack.queries),
+                          jnp.asarray(pack.filter_idx)))
+    np.testing.assert_array_equal(r, dense_ranks)
+
+
 def test_sharded_pallas_ranker_rank_many_and_unpadded(data, setup):
     """rank_many (whole-split scan form) + canonical unpadded params through
     the sharded Pallas ranker; also the lhs direction."""
