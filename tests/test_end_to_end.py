@@ -266,6 +266,16 @@ def test_cli_gnn_full_protocol(tmp_path):
         base + ["--max_epochs", "2", "--resume"]))
     assert 0.0 <= out2["test"]["MRR"] <= 1.0
 
+    # the serving entries must handle the nested GNN checkpoint too
+    from complexhyperbolickge_tpu.cli.export import export
+    from complexhyperbolickge_tpu.cli.predict import predict
+
+    npz_path = export(str(tmp_path))
+    arrs = np.load(npz_path)
+    assert any(key.startswith("gnn.0.") for key in arrs.files), arrs.files
+    preds = predict(str(tmp_path), [(0, 0), (3, 1)], k=5, filter_known=True)
+    assert len(preds) == 2 and len(preds[0]["tails"]) == 5
+
 
 def test_apply_dtype_policy_coerces_f64_on_tpu_only(monkeypatch):
     """kge-test/kge-predict reuse this policy: a config trained with
