@@ -277,6 +277,17 @@ def train(args) -> dict:
 
     mesh = None
     if getattr(args, "mesh", None):
+        if getattr(args, "subgraph", False):
+            # the subgraph trainer's per-batch host sampling feeds a
+            # single-device jit; silently combining it with a mesh would
+            # train replicated without the model-axis sharding the user
+            # asked for — refuse loudly instead
+            raise SystemExit(
+                "--subgraph and --mesh are mutually exclusive: subgraph "
+                "mode exists for graphs whose ENCODER outgrows one chip's "
+                "HBM and trains single-device; mesh training uses the "
+                "full-graph encoder. Drop one of the flags."
+            )
         from complexhyperbolickge_tpu.parallel import make_mesh, shard_params
 
         d, m = (int(x) for x in args.mesh.lower().split("x"))

@@ -513,6 +513,20 @@ def test_cli_with_mesh_gnn(tmp_path):
     assert 0.0 <= out["test"]["MRR"] <= 1.0
 
 
+def test_cli_subgraph_plus_mesh_refused(tmp_path):
+    """--subgraph trains single-device by design; combining it with --mesh
+    must fail loudly instead of silently dropping the model-axis sharding."""
+    from complexhyperbolickge_tpu.cli.run import build_parser, train
+
+    args = build_parser().parse_args([
+        "--dataset", "synthetic", "--model", "CompGCN", "--rank", "8",
+        "--hidden_dim", "8", "--layers", "1", "--subgraph", "--mesh", "4x2",
+        "--max_epochs", "1", "--save_dir", str(tmp_path),
+    ])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        train(args)
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (4, 2)])
 def test_sharded_pallas_ranker_matches_dense(data, setup, mesh_shape):
     """The fused Pallas tile kernel run PER SHARD inside shard_map (interpret
