@@ -12,6 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from complexhyperbolickge_tpu.data.dataset import dedup_filter_rows
 from complexhyperbolickge_tpu.kernels import make_pallas_ranker
 from complexhyperbolickge_tpu.models import ModelConfig, get_model
 from complexhyperbolickge_tpu.train.evaluate import make_ranker
@@ -34,6 +35,7 @@ def main():
                   rng.integers(0, N_ENT, B)], 1).astype(np.int32)
     fidx = rng.integers(0, N_ENT, (B, LMAX)).astype(np.int32)
     fidx[:, -1] = q[:, 2]  # gold always filtered
+    fidx = dedup_filter_rows(fidx, N_ENT)  # pack contract: rows dedup'd
     jq, jf = jnp.asarray(q), jnp.asarray(fidx)
 
     dense = make_ranker(model, B)
@@ -93,6 +95,7 @@ def main():
                    rng.integers(0, N_ENT, nq)], 1).astype(np.int32)
     fs = rng.integers(0, N_ENT, (nq, LMAX)).astype(np.int32)
     fs[:, -1] = qs[:, 2]
+    fs = dedup_filter_rows(fs, N_ENT)
     pack = EvalPack(queries=qs, filter_idx=fs)
     for label, fn in (("dense", dense), ("pallas", pallas)):
         get_ranking(model, params, pack, B, rank_fn=fn)  # compile

@@ -15,7 +15,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from complexhyperbolickge_tpu.data.dataset import EvalPack, synthetic_kg
+from complexhyperbolickge_tpu.data.dataset import (EvalPack, dedup_filter_rows,
+                                                   synthetic_kg)
 from complexhyperbolickge_tpu.models import ModelConfig, get_model
 from complexhyperbolickge_tpu.train.evaluate import get_ranking, make_ranker
 
@@ -46,6 +47,7 @@ qs = np.stack([rng.integers(0, n_ent, NQ), rng.integers(0, n_rel, NQ),
                rng.integers(0, n_ent, NQ)], 1).astype(np.int32)
 fs = rng.integers(0, n_ent, (NQ, LMAX)).astype(np.int32)
 fs[:, -1] = qs[:, 2]
+fs = dedup_filter_rows(fs, n_ent)  # pack contract: rows dedup'd
 pack = EvalPack(queries=qs, filter_idx=fs)
 
 ranker = make_ranker(model, B)

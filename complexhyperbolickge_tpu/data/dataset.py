@@ -36,6 +36,25 @@ class EvalPack:
     filter_idx: np.ndarray  # int32 [n, Lmax] true-entity ids, padded n_entities
 
 
+def dedup_filter_rows(fidx: np.ndarray, n_entities: int) -> np.ndarray:
+    """Replace repeat occurrences within each filter row by the pad id.
+
+    eval_pack rows are deduplicated by construction; synthetic packs (tests,
+    benchmarks) must honor the same contract — the count-subtracting rankers
+    (filtered_rank_counts, the maskless Pallas forms) subtract once per
+    entry, so a duplicated id would be excluded twice."""
+    out = fidx.copy()
+    for row in out:
+        seen = set()
+        for j, v in enumerate(row):
+            v = int(v)
+            if v in seen:
+                row[j] = n_entities
+            else:
+                seen.add(v)
+    return out
+
+
 class KGData:
     """Loads reference-format pickles or takes in-memory split arrays."""
 

@@ -4,8 +4,8 @@ This is the 'long axis' of the workload (SURVEY §5.7): at eval time every
 query is scored against ALL entities (up to 123k for YAGO3-10).  Under
 shard_map each device holds a row-shard of the entity table, scores the
 query block against its local candidates (one local MXU matmul via
-model.sim), applies its slice of the filter mask, and contributes a local
-count to
+model.sim), excludes its slice of the filtered entities (by count
+subtraction — no (B, shard_n) scatter), and contributes a local count to
 
     rank = 1 + psum_over_model_axis(#{local scores >= target})
 
@@ -43,6 +43,24 @@ def _gather_rows_sharded(local_table, ids, lo, shard_n, axis_name="model"):
     rows = local_table[safe]
     rows = jnp.where(owns[..., None], rows, jnp.zeros_like(rows))
     return jax.lax.psum(rows, axis_name=axis_name)
+
+
+def _filtered_count_local(s, target, fidx, lo, shard_n, n_entities):
+    """Shard-local #{score >= target} with filtered entities excluded by
+    count subtraction (train/evaluate.py::filtered_rank_counts, local form)
+    instead of scattering -1e6 into — and thereby copying — the whole
+    (B, shard_n) score block.  Filter ids owned by other shards and pad ids
+    (>= n_entities) contribute nothing here; pack rows are dedup'd by the
+    eval_pack contract.  The -1e6 term keeps the reference overwrite
+    semantics exactly when a target itself is <= -1e6."""
+    f = fidx.astype(jnp.int32)
+    owned = (f >= lo) & (f < lo + shard_n) & (f < n_entities)
+    g = jnp.take_along_axis(s, jnp.clip(f - lo, 0, shard_n - 1), axis=1)
+    tgt = target[:, None]
+    total = jnp.sum(s >= tgt, axis=1)
+    sub = jnp.sum(owned & (g >= tgt), axis=1)
+    add = jnp.sum(owned & (jnp.asarray(-1e6, s.dtype) >= tgt), axis=1)
+    return (total - sub + add).astype(jnp.float32)
 
 
 def make_sharded_ranker(model, mesh, n_entities: int):
@@ -92,16 +110,7 @@ def make_sharded_ranker(model, mesh, n_entities: int):
             axis_name="model",
         )
 
-        # filter mask in local coordinates; ids owned by other shards are
-        # remapped to shard_n (positive out-of-bounds -> dropped).  NB: a
-        # plain `fidx - lo` would produce NEGATIVE locals for lower shards,
-        # which .at[] WRAPS rather than drops.
-        rows = jnp.arange(b)[:, None]
-        f = fidx.astype(jnp.int32)
-        f_local = jnp.where((f >= lo) & (f < lo + shard_n), f - lo, shard_n)
-        s = s.at[rows, f_local].set(-1e6, mode="drop")
-
-        count = jnp.sum(s >= target[:, None], axis=1).astype(jnp.float32)
+        count = _filtered_count_local(s, target, fidx, lo, shard_n, n_entities)
         return 1.0 + jax.lax.psum(count, axis_name="model")
 
     in_specs = (
@@ -217,14 +226,7 @@ def make_sharded_gnn_ranker(model, mesh, n_entities: int):
             axis_name="model",
         )
 
-        # filter ids owned by other shards remap to shard_n (positive OOB ->
-        # dropped; negative locals would WRAP in .at[])
-        rows = jnp.arange(b)[:, None]
-        f = fidx.astype(jnp.int32)
-        f_local = jnp.where((f >= lo) & (f < lo + shard_n), f - lo, shard_n)
-        s = s.at[rows, f_local].set(-1e6, mode="drop")
-
-        count = jnp.sum(s >= target[:, None], axis=1).astype(jnp.float32)
+        count = _filtered_count_local(s, target, fidx, lo, shard_n, n_entities)
         return 1.0 + jax.lax.psum(count, axis_name="model")
 
     fn = jax.shard_map(
@@ -272,11 +274,11 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
                                precision: str = "highest"):
     """Entity-sharded ranking with the FUSED Pallas tile kernel per shard.
 
-    Composes the two wins: each model-axis shard sweeps its LOCAL slice of
-    the entity table with kernels/chyp_rank.py::chyp_rank_counts (score
-    matrix never leaves VMEM; 1.6-1.7x the dense XLA sweep on one chip,
+    Each model-axis shard sweeps its LOCAL slice of the entity table with
+    kernels/chyp_rank.py::chyp_rank_counts (score matrix never leaves VMEM;
+    measures within noise of the scatter-free dense XLA sweep on one chip,
     benchmarks/eval_bench.py) and one psum combines the per-shard counts —
-    so multi-chip eval no longer forfeits the single-chip kernel speedup.
+    multi-chip eval keeps the single-chip kernel path.
 
     CHYP-family (FFTUnitBall) models only.  Table layout: entity rows padded
     to n_shards * local_np (local_np a tile_n multiple) with bt = -1e30 pad

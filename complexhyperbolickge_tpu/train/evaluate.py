@@ -7,9 +7,11 @@ Protocol parity with reference models/base.py:228-322 and utils/train.py:23-47:
 
 TPU design: the reference runs a per-query Python loop of dict lookups to
 apply filters (base.py:264-268 — a GPU->CPU sync per batch).  Here filters
-are pre-packed as padded index arrays (data/dataset.py:eval_pack) and applied
-as ONE vectorized scatter inside the jitted ranking function; the score
-matrix itself comes from the models' all-pairs MXU form (score_all).
+are pre-packed as padded index arrays (data/dataset.py:eval_pack) and
+excluded by COUNT SUBTRACTION inside the jitted ranking function
+(filtered_rank_counts — gathering B*Lmax entries instead of scattering
+into, and thereby copying, the (B, N) score matrix); the score matrix
+itself comes from the models' all-pairs MXU form (score_all).
 """
 
 from __future__ import annotations
@@ -29,6 +31,34 @@ def _mask_pad_cols(scores, n_entities: int):
     return jnp.where(valid, scores, -jnp.inf)
 
 
+def filtered_rank_counts(scores, target, fidx, n_entities: int):
+    """#{score >= target} with filtered entities excluded, WITHOUT the
+    (B, N) scatter.
+
+    Semantically identical to the reference protocol (set filtered entries
+    to -1e6, then count, base.py:264-271) but expressed as a count
+    subtraction: gather the filtered entries' scores from the SAME matrix
+    (bitwise-identical values), subtract those that were counted, and add
+    back the ones a -1e6 overwrite would still have counted (only when
+    target <= -1e6).  The scatter form forces XLA to materialize + copy the
+    full (B, N) score matrix per batch (~2 ms at WN18RR shapes — measured
+    2.7x of the whole rank program); the gather touches B*Lmax elements.
+
+    Contract (guaranteed by data/dataset.py::eval_pack and required by the
+    maskless Pallas rankers too): filter rows are DEDUPLICATED and padded
+    with n_entities (never negative).
+    """
+    total = jnp.sum(scores >= target, axis=1)
+    valid = fidx < n_entities
+    g = jnp.take_along_axis(
+        scores, jnp.minimum(fidx, scores.shape[-1] - 1), axis=1
+    )
+    sub = jnp.sum(valid & (g >= target), axis=1)
+    sentinel = jnp.asarray(-1e6, scores.dtype)
+    add = jnp.sum(valid & (sentinel >= target), axis=1)
+    return total - sub + add
+
+
 def make_ranker(model, eval_batch_size: int):
     """Compiled filtered-ranking over one query batch.
 
@@ -46,9 +76,10 @@ def make_ranker(model, eval_batch_size: int):
                 model.cfg.n_entities,
             )
             target = jnp.take_along_axis(scores, q[:, 2:3], axis=1)
-            rows = jnp.arange(q.shape[0])[:, None]
-            scores = scores.at[rows, fidx].set(-1e6, mode="drop")
-            return 1.0 + jnp.sum(scores >= target, axis=1).astype(jnp.float32)
+            counts = filtered_rank_counts(
+                scores, target, fidx, model.cfg.n_entities
+            )
+            return 1.0 + counts.astype(jnp.float32)
 
         rank_core = jax.jit(_core)
 
@@ -78,9 +109,8 @@ def make_ranker(model, eval_batch_size: int):
             model.score_all(params, q[:, :2]), model.cfg.n_entities
         )  # (B, N)
         target = jnp.take_along_axis(scores, q[:, 2:3], axis=1)  # (B, 1)
-        rows = jnp.arange(q.shape[0])[:, None]
-        scores = scores.at[rows, fidx].set(-1e6, mode="drop")
-        return 1.0 + jnp.sum(scores >= target, axis=1).astype(jnp.float32)
+        counts = filtered_rank_counts(scores, target, fidx, model.cfg.n_entities)
+        return 1.0 + counts.astype(jnp.float32)
 
     rank_batch = jax.jit(_rank_one)
 
@@ -98,12 +128,17 @@ def make_ranker(model, eval_batch_size: int):
 
 def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
                      precision: str = "highest"):
-    """Pick the fused Pallas ranker for CHYP-family models on TPU (1.6-1.7x the
-    dense path, benchmarks/eval_bench.py), else the dense XLA ranker.
+    """Pick the fused Pallas ranker for CHYP-family models on TPU, else the
+    dense XLA ranker.  Since the dense path's filter scatter was replaced by
+    count subtraction the two backends measure within noise of each other
+    (~220k q/s per-batch, ~290k whole-split at WN18RR scale,
+    benchmarks/eval_bench.py); the kernel stays the TPU default as the
+    VMEM-resident form (the (B,N) score matrix never reaches HBM) and as a
+    cross-check against the XLA path.
 
     A failure to build the Pallas path is LOUD: backend='pallas' re-raises;
     backend='auto' logs a warning with the exception before degrading to the
-    dense ranker (a silent fallback would hide kernel rot and a ~1.6x loss).
+    dense ranker (a silent fallback would hide kernel rot).
 
     precision='highest' (default) keeps the kernels' MXU contractions at
     6-pass f32 emulation — ranks bitwise-comparable with the dense path.
@@ -211,9 +246,23 @@ def make_predictor(model, k: int = 10):
     return predict
 
 
-def get_ranking(model, params, pack, batch_size: int = 500, rank_fn=None):
-    """Ranks of the gold entity for every query in an EvalPack."""
-    rank_fn = rank_fn or make_ranker(model, batch_size)
+# Device-resident eval packs, keyed on (pack identity, batch_size).  The
+# pack arrays are static per (split, direction, rel_idx) — re-uploading the
+# padded filter array (B*Lmax int32, several MB at WN18RR scale) on every
+# validation pass costs more than the ranking itself on a remote-tunnel
+# link and is pure waste on a local chip too.  Entries hold a STRONG
+# reference to the pack so the id() key cannot alias a recycled object;
+# the dict is capped (FIFO) so long test sessions don't accumulate packs.
+_DEVICE_PACKS: dict = {}
+_DEVICE_PACKS_MAX = 64
+
+
+def _device_pack(pack, batch_size: int):
+    """Padded, batch-reshaped, device-resident (qb, fb) for an EvalPack."""
+    key = (id(pack), batch_size)
+    hit = _DEVICE_PACKS.get(key)
+    if hit is not None and hit[0] is pack:
+        return hit[1], hit[2]
     q, fidx = pack.queries, pack.filter_idx
     n = q.shape[0]
     nb = -(-n // batch_size)
@@ -223,20 +272,28 @@ def get_ranking(model, params, pack, batch_size: int = 500, rank_fn=None):
         fidx = np.concatenate(
             [fidx, np.broadcast_to(fidx[:1], (pad, fidx.shape[1]))], axis=0
         )
+    qb = jnp.asarray(q.reshape(nb, batch_size, 3))
+    fb = jnp.asarray(fidx.reshape(nb, batch_size, fidx.shape[1]))
+    if len(_DEVICE_PACKS) >= _DEVICE_PACKS_MAX:
+        _DEVICE_PACKS.pop(next(iter(_DEVICE_PACKS)))
+    _DEVICE_PACKS[key] = (pack, qb, fb)
+    return qb, fb
+
+
+def get_ranking(model, params, pack, batch_size: int = 500, rank_fn=None):
+    """Ranks of the gold entity for every query in an EvalPack."""
+    rank_fn = rank_fn or make_ranker(model, batch_size)
+    n = pack.queries.shape[0]
+    qb, fb = _device_pack(pack, batch_size)
     if hasattr(rank_fn, "rank_many"):
         # one dispatch for the whole split (scan-compiled)
-        qb = jnp.asarray(q.reshape(nb, batch_size, 3))
-        fb = jnp.asarray(fidx.reshape(nb, batch_size, fidx.shape[1]))
         out = np.asarray(rank_fn.rank_many(params, qb, fb)).reshape(-1)[:n]
     else:
         ranks = []
-        for i in range(nb):
-            s = slice(i * batch_size, (i + 1) * batch_size)
+        for i in range(qb.shape[0]):
             # keep results on device: batches pipeline through jax's async
             # dispatch instead of syncing to host every iteration
-            ranks.append(
-                rank_fn(params, jnp.asarray(q[s]), jnp.asarray(fidx[s]))
-            )
+            ranks.append(rank_fn(params, qb[i], fb[i]))
         out = np.concatenate([np.asarray(r) for r in ranks])[:n]
     assert np.isfinite(out).all()
     return out

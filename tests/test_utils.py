@@ -134,3 +134,81 @@ def test_sampler_env_lib_validation_deferred():
                        text=True, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "deferred-error-ok" in r.stdout
+
+
+def test_filtered_rank_counts_matches_scatter_oracle():
+    """The gather-subtract filtered counting must be EXACTLY the scatter
+    protocol (set filtered entries to -1e6, count >= target) under the
+    eval-pack contract (dedup'd rows, pad = n_entities) — including the
+    degenerate regime target <= -1e6 where overwritten entries still count,
+    and score matrices carrying -inf pad columns past n_entities."""
+    from complexhyperbolickge_tpu.train.evaluate import filtered_rank_counts
+
+    rng = np.random.default_rng(0)
+    B, N, L = 17, 53, 9
+    for pad_cols in (0, 3):
+        for extreme in (False, True):
+            scores = rng.normal(size=(B, N + pad_cols)).astype(np.float32)
+            if extreme:
+                scores -= 2e6  # every score (incl. targets) below -1e6
+            if pad_cols:
+                scores[:, N:] = -np.inf
+            fidx = np.full((B, L), N, dtype=np.int32)
+            for i in range(B):
+                k = rng.integers(0, L + 1)
+                fidx[i, :k] = rng.choice(N, size=k, replace=False)
+            tgt_col = rng.integers(0, N, B).astype(np.int32)
+            target = np.take_along_axis(scores, tgt_col[:, None], axis=1)
+
+            masked = scores.copy()
+            for i in range(B):
+                for j in range(L):
+                    if fidx[i, j] < N:
+                        masked[i, fidx[i, j]] = -1e6
+            want = (masked >= target).sum(axis=1)
+
+            got = np.asarray(
+                filtered_rank_counts(
+                    jnp.asarray(scores), jnp.asarray(target),
+                    jnp.asarray(fidx), N,
+                )
+            )
+            np.testing.assert_array_equal(got, want)
+
+
+def test_get_ranking_device_pack_cache_reuses_and_pins():
+    """get_ranking must return identical ranks across repeat calls on the
+    same pack (device arrays cached by pack identity) and across distinct
+    pack objects with equal contents (fresh upload)."""
+    from complexhyperbolickge_tpu.data.dataset import EvalPack
+    from complexhyperbolickge_tpu.models import ModelConfig, get_model
+    from complexhyperbolickge_tpu.train import evaluate
+    from complexhyperbolickge_tpu.train.evaluate import get_ranking, make_ranker
+
+    n_ent, n_rel, nq = 31, 4, 23
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=6,
+                      multi_c=True, bias="learn", dtype="float32")
+    model = get_model("RotE")(cfg)
+    rng = np.random.default_rng(1)
+    params = {
+        kk: jnp.asarray(rng.uniform(-0.5, 0.5, size=shape), dtype=jnp.float32)
+        for kk, (shape, _) in model.param_specs().items()
+    }
+    qs = np.stack([rng.integers(0, n_ent, nq), rng.integers(0, n_rel, nq),
+                   rng.integers(0, n_ent, nq)], 1).astype(np.int32)
+    fs = np.full((nq, 5), n_ent, dtype=np.int32)
+    for i in range(nq):
+        fs[i, :3] = rng.choice(n_ent, size=3, replace=False)
+    pack = EvalPack(queries=qs, filter_idx=fs)
+    ranker = make_ranker(model, 8)
+
+    r1 = get_ranking(model, params, pack, 8, rank_fn=ranker)
+    key = (id(pack), 8)
+    assert key in evaluate._DEVICE_PACKS
+    assert evaluate._DEVICE_PACKS[key][0] is pack
+    r2 = get_ranking(model, params, pack, 8, rank_fn=ranker)
+    np.testing.assert_array_equal(r1, r2)
+
+    pack2 = EvalPack(queries=qs.copy(), filter_idx=fs.copy())
+    r3 = get_ranking(model, params, pack2, 8, rank_fn=ranker)
+    np.testing.assert_array_equal(r1, r3)
