@@ -5,6 +5,7 @@ with realistic padded-filter lengths.  Reports queries/sec for both paths and
 validates they agree exactly.
 """
 
+import os
 import time
 
 import numpy as np
@@ -17,7 +18,10 @@ from complexhyperbolickge_tpu.kernels import make_pallas_ranker
 from complexhyperbolickge_tpu.models import ModelConfig, get_model
 from complexhyperbolickge_tpu.train.evaluate import make_ranker
 
-N_ENT, N_REL, RANK, B, LMAX = 40943, 22, 33, 500, 64
+# WN18RR scale by default; EVAL_BENCH_N_ENT=123182 reproduces the YAGO3-10
+# README row (the candidate axis is the only scale knob that matters here)
+N_ENT = int(os.environ.get("EVAL_BENCH_N_ENT", 40943))
+N_REL, RANK, B, LMAX = 22, 33, 500, 64
 
 
 def main():
@@ -41,15 +45,20 @@ def main():
     dense = make_ranker(model, B)
     pallas = make_pallas_ranker(model, B)
 
-    # the production selector must actually PICK the fused kernel on TPU
-    # (a silent fallback would hide kernel rot — round-1 verdict item 5)
+    # selector policy: 'auto' = the scatter-free dense ranker (fastest-or-
+    # equal at every measured scale); 'pallas' must still build the fused
+    # kernel (a silent fallback would hide kernel rot)
     if jax.devices()[0].platform != "cpu":
         from complexhyperbolickge_tpu.kernels.chyp_rank import PallasChypRanker
         from complexhyperbolickge_tpu.train.evaluate import make_best_ranker
 
         best = make_best_ranker(model, B, "auto")
-        assert isinstance(best, PallasChypRanker), (
-            f"make_best_ranker degraded to {type(best).__name__} on TPU"
+        assert not isinstance(best, PallasChypRanker), (
+            "'auto' should select the dense ranker"
+        )
+        forced = make_best_ranker(model, B, "pallas")
+        assert isinstance(forced, PallasChypRanker), (
+            f"backend='pallas' built {type(forced).__name__}"
         )
 
     r1 = np.asarray(dense(params, jq, jf))

@@ -50,7 +50,11 @@ def main():
                                              jnp.asarray(w),
                                              jax.random.PRNGKey(1))
             assert np.isfinite(loss), f"loss={loss}"
-            rank_fn = make_best_ranker(model, 32)
+            # force the fused kernels where they exist (verifying every
+            # kernel LOWERS on real hardware is this smoke's purpose —
+            # 'auto' now selects the dense ranker); kernel-less families
+            # warn and smoke the dense path instead
+            rank_fn = make_best_ranker(model, 32, "pallas")
             m = avg_both(compute_metrics(model, params, data, "test", 32,
                                          rank_fn=rank_fn))
             assert 0.0 <= m["MRR"] <= 1.0

@@ -111,7 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from save_dir's checkpoint")
     p.add_argument("--eval_backend", default="auto",
                    choices=["auto", "dense", "pallas"],
-                   help="ranking path: fused Pallas kernel or dense XLA")
+                   help="ranking path: auto/dense = scatter-free dense XLA "
+                        "(fastest-or-equal at every measured scale); pallas "
+                        "= the fused VMEM-resident kernel (loud failure if "
+                        "it cannot build)")
     p.add_argument("--eval_precision", default="highest",
                    choices=["highest", "default"],
                    help="Pallas-ranker MXU precision: 'highest' (6-pass f32 "

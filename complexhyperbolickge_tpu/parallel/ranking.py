@@ -592,52 +592,47 @@ def _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other,
 def make_best_sharded_ranker(model, mesh, n_entities: int,
                              backend: str = "auto",
                              precision: str = "highest"):
-    """Sharded-ranker analogue of train/evaluate.py::make_best_ranker: the
-    fused Pallas path per model family (on TPU, or interpret-mode when
-    forced with backend='pallas'), else the dense shard_map ranker.
-    Failures are LOUD: backend='pallas' re-raises; 'auto' warns before
-    degrading.  precision: MXU contraction mode for the fused kernels
-    (see make_best_ranker); the dense and GNN paths ignore it (exact)."""
+    """Sharded-ranker analogue of train/evaluate.py::make_best_ranker:
+    backend='auto'/'dense' -> the scatter-free dense shard_map ranker
+    (fastest-or-equal at every measured scale — see make_best_ranker);
+    backend='pallas' -> the fused kernel per shard for every hyperbolic
+    family (interpret mode off-TPU), failing LOUDLY if it cannot build.
+    precision: MXU contraction mode for the fused kernels (see
+    make_best_ranker); the dense and GNN paths ignore it (exact)."""
     if getattr(model, "is_gnn", False):
         # GNN models: encoder replicated, ENCODED table sharded (no Pallas
         # kernel — the decoder sweep is a plain MXU matmul XLA tiles well)
         return make_sharded_gnn_ranker(model, mesh, n_entities)
-    if backend in ("auto", "pallas"):
-        try:
-            from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
-            from complexhyperbolickge_tpu.models.hyperbolic import (
-                AttRH,
-                BaseH,
-                BaseLorentz,
-            )
-            from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
+    if backend == "pallas":
+        from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
+        from complexhyperbolickge_tpu.models.hyperbolic import (
+            AttRH,
+            BaseH,
+            BaseLorentz,
+        )
+        from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
 
-            on_tpu = is_tpu_backend()
-            want = on_tpu or backend == "pallas"
-            if isinstance(model, FFTUnitBall) and want:
-                return make_sharded_pallas_ranker(
-                    model, mesh, n_entities, interpret=not on_tpu,
-                    precision=precision,
-                )
-            if isinstance(model, AttRH) and want:
-                return make_sharded_attrh_ranker(
-                    model, mesh, n_entities, interpret=not on_tpu,
-                    precision=precision,
-                )
-            hyp_ok = isinstance(model, (BaseH, BaseLorentz))
-            if hyp_ok and want:
-                return make_sharded_hyp_ranker(
-                    model, mesh, n_entities, interpret=not on_tpu,
-                    precision=precision,
-                )
-        except Exception as e:
-            if backend == "pallas":
-                raise
-            import logging
-
-            logging.warning(
-                "sharded Pallas ranker unavailable for %s (%s: %s); falling "
-                "back to the dense shard_map ranker",
-                type(model).__name__, type(e).__name__, e,
+        on_tpu = is_tpu_backend()
+        if isinstance(model, FFTUnitBall):
+            return make_sharded_pallas_ranker(
+                model, mesh, n_entities, interpret=not on_tpu,
+                precision=precision,
             )
+        if isinstance(model, AttRH):
+            return make_sharded_attrh_ranker(
+                model, mesh, n_entities, interpret=not on_tpu,
+                precision=precision,
+            )
+        if isinstance(model, (BaseH, BaseLorentz)):
+            return make_sharded_hyp_ranker(
+                model, mesh, n_entities, interpret=not on_tpu,
+                precision=precision,
+            )
+        import logging
+
+        logging.warning(
+            "no sharded Pallas ranker exists for %s; using the dense "
+            "shard_map ranker",
+            type(model).__name__,
+        )
     return make_sharded_ranker(model, mesh, n_entities)

@@ -128,72 +128,60 @@ def make_ranker(model, eval_batch_size: int):
 
 def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
                      precision: str = "highest"):
-    """Pick the fused Pallas ranker for CHYP-family models on TPU, else the
-    dense XLA ranker.  Since the dense path's filter scatter was replaced by
-    count subtraction the two backends measure within noise of each other
-    (~220k q/s per-batch, ~290k whole-split at WN18RR scale,
-    benchmarks/eval_bench.py); the kernel stays the TPU default as the
-    VMEM-resident form (the (B,N) score matrix never reaches HBM) and as a
-    cross-check against the XLA path.
+    """Ranking-backend selector.
 
-    A failure to build the Pallas path is LOUD: backend='pallas' re-raises;
-    backend='auto' logs a warning with the exception before degrading to the
-    dense ranker (a silent fallback would hide kernel rot).
+    backend='auto' (and 'dense') returns the scatter-free dense XLA ranker:
+    with filtering done by count subtraction it measures within noise of
+    the fused Pallas kernels at WN18RR scale (~224k vs ~219k q/s per-batch)
+    and 1.2x FASTER at YAGO scale (117k vs 96k — the masked kernel streams
+    a (B, N) int8 filter mask that grows with N), benchmarks/eval_bench.py.
+    Until the dense path's filter scatter was eliminated the kernels were
+    1.6-1.7x ahead; they remain available (backend='pallas', every
+    hyperbolic family) as the VMEM-resident form and as a cross-check.
+
+    A failure to build a forced Pallas path is LOUD: backend='pallas'
+    re-raises (a silent fallback would hide kernel rot).
 
     precision='highest' (default) keeps the kernels' MXU contractions at
     6-pass f32 emulation — ranks bitwise-comparable with the dense path.
     'default' uses the single-pass bf16 MXU form: measured ~1.08x on v5e
     (the kernels are VPU-transcendental-bound, not MXU-bound) with MRR
-    deltas ~5e-8 at WN18RR scale; the dense fallback ignores it (always
+    deltas ~5e-8 at WN18RR scale; the dense backends ignore it (always
     exact).
     """
-    if backend in ("auto", "pallas"):
-        try:
-            from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
-            from complexhyperbolickge_tpu.models.hyperbolic import (
-                AttRH,
-                BaseH,
-                BaseLorentz,
+    if backend == "pallas":
+        from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
+        from complexhyperbolickge_tpu.models.hyperbolic import (
+            AttRH,
+            BaseH,
+            BaseLorentz,
+        )
+
+        from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
+
+        # Pallas TPU kernels lower only on TPU backends (native or
+        # tunneled); elsewhere a forced 'pallas' runs in interpret mode
+        on_tpu = is_tpu_backend()
+        if isinstance(model, FFTUnitBall):
+            from complexhyperbolickge_tpu.kernels import make_pallas_ranker
+
+            return make_pallas_ranker(model, eval_batch_size,
+                                      interpret=not on_tpu,
+                                      precision=precision)
+        if isinstance(model, AttRH):
+            from complexhyperbolickge_tpu.kernels import (
+                make_pallas_attrh_ranker,
             )
 
-            from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
+            return make_pallas_attrh_ranker(model, eval_batch_size,
+                                            interpret=not on_tpu,
+                                            precision=precision)
+        if isinstance(model, (BaseH, BaseLorentz)):
+            from complexhyperbolickge_tpu.kernels import make_pallas_hyp_ranker
 
-            # Pallas TPU kernels lower only on TPU backends (native or
-            # tunneled); CUDA/ROCm must keep the portable XLA path
-            on_tpu = is_tpu_backend()
-            want = on_tpu or backend == "pallas"
-            if isinstance(model, FFTUnitBall) and want:
-                from complexhyperbolickge_tpu.kernels import make_pallas_ranker
-
-                return make_pallas_ranker(model, eval_batch_size,
+            return make_pallas_hyp_ranker(model, eval_batch_size,
                                           interpret=not on_tpu,
                                           precision=precision)
-            if isinstance(model, AttRH) and want:
-                from complexhyperbolickge_tpu.kernels import (
-                    make_pallas_attrh_ranker,
-                )
-
-                return make_pallas_attrh_ranker(model, eval_batch_size,
-                                                interpret=not on_tpu,
-                                                precision=precision)
-            hyp_ok = isinstance(model, (BaseH, BaseLorentz))
-            if hyp_ok and want:
-                from complexhyperbolickge_tpu.kernels import make_pallas_hyp_ranker
-
-                return make_pallas_hyp_ranker(model, eval_batch_size,
-                                              interpret=not on_tpu,
-                                              precision=precision)
-        except Exception as e:
-            if backend == "pallas":
-                raise
-            import logging
-
-            logging.warning(
-                "Pallas ranker unavailable for %s (%s: %s); falling back to "
-                "the dense XLA ranker",
-                type(model).__name__, type(e).__name__, e,
-            )
-    if backend == "pallas":
         import logging
 
         logging.warning(
