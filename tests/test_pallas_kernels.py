@@ -192,10 +192,40 @@ def test_best_ranker_selects_pallas_when_forced():
                       PallasHypRanker)
 
 
+def test_best_ranker_auto_policy(monkeypatch):
+    """backend='auto' (and 'dense') must return the scatter-free dense
+    ranker everywhere: it measures within noise of the fused kernels at
+    WN18RR scale and 1.2x faster at YAGO scale (the masked kernels stream a
+    (B, N) int8 filter mask that grows with N) — benchmarks/eval_bench.py.
+    Pinned behaviorally: with every Pallas builder broken, 'auto' must
+    still return a working ranker (i.e. it never touches the kernels).
+    Single-device and sharded selectors must agree on the policy."""
+    import complexhyperbolickge_tpu.kernels as K
+    import complexhyperbolickge_tpu.parallel.ranking as PR
+    from complexhyperbolickge_tpu.train.evaluate import make_best_ranker
+
+    def boom(*a, **k):
+        raise AssertionError("'auto' must not build a Pallas ranker")
+
+    for name in ("make_pallas_ranker", "make_pallas_hyp_ranker",
+                 "make_pallas_attrh_ranker"):
+        monkeypatch.setattr(K, name, boom)
+    for name in ("make_sharded_pallas_ranker", "make_sharded_hyp_ranker",
+                 "make_sharded_attrh_ranker"):
+        monkeypatch.setattr(PR, name, boom)
+
+    for backend in ("auto", "dense"):
+        assert callable(make_best_ranker(_tiny_model("FFTRotH"), 8, backend))
+        assert callable(make_best_ranker(_tiny_model("RotH", 8), 8, backend))
+
+    mesh = jax.make_mesh((1, 2), ("data", "model"))
+    sr = PR.make_best_sharded_ranker(_tiny_model("FFTRotH"), mesh, 32, "auto")
+    assert callable(sr) and hasattr(sr, "rank_many")
+
+
 def test_best_ranker_failure_is_loud(monkeypatch, caplog):
-    """A broken Pallas path must RAISE under backend='pallas' and WARN (with
-    the exception) under 'auto' — never degrade silently (round-1 verdict
-    weak item 3)."""
+    """A broken Pallas path must RAISE under backend='pallas' — never
+    degrade silently (round-1 verdict weak item 3)."""
     import logging
 
     import complexhyperbolickge_tpu.kernels as K
