@@ -206,28 +206,39 @@ def neg_sampling_loss_pooled(model, params, batch, weights, key,
 def cross_entropy_loss(model, params, batch, weights, smoothing: float | None,
                        n_entities: int | None = None):
     """All-entity CE with torch-style label smoothing (kg_optimizer.py:47,
-    186-191): loss_i = (1-eps)(-log p_t) + eps * mean_k(-log p_k)."""
+    186-191): loss_i = (1-eps)(-log p_t) + eps * mean_k(-log p_k).
+
+    Factored: with logp = preds - lse,
+        loss_i = lse_i - (1-eps)*preds[i, t_i] - (eps/N) * sum_k preds[i, k]
+    so the (B, N) logp matrix is never materialized — just the logsumexp
+    reduction (whose exp pass is the irreducible transcendental cost), a
+    (B, 1) gold gather from preds, and a row sum for the smoothing term."""
     queries, tails = batch[:, :2], batch[:, 2]
     preds = model.score_all(params, queries)  # (B, N) — or (B, Np) padded
     factors = model.get_factors(params, queries, None)
     valid = _pad_col_mask(preds, n_entities)
-    if valid is not None:
-        preds = jnp.where(valid, preds, -1e30)  # softmax mass 0 on pad cols
-    logp = jax.nn.log_softmax(preds, axis=-1)
-    nll = -jnp.take_along_axis(logp, tails[:, None], axis=1)[:, 0]
+    masked = preds if valid is None else jnp.where(valid, preds, -1e30)
+    lse = jax.nn.logsumexp(masked, axis=-1)  # pad cols carry no softmax mass
+    gold = jnp.take_along_axis(preds, tails[:, None], axis=1)[:, 0]
     eps = 0.0 if smoothing is None else smoothing
     if eps:
-        if valid is None:
-            smooth = jnp.mean(-logp, axis=-1)
-        else:  # mean over the REAL entity columns only
-            smooth = jnp.sum(jnp.where(valid, -logp, 0.0), axis=-1) / n_entities
-        nll = (1 - eps) * nll + eps * smooth
+        # mean over the REAL entity columns only
+        n = preds.shape[-1] if valid is None else n_entities
+        mean_pred = jnp.sum(
+            preds if valid is None else jnp.where(valid, preds, 0.0), axis=-1
+        ) / n
+        nll = lse - (1 - eps) * gold - eps * mean_pred
+    else:
+        nll = lse - gold
     return jnp.sum(weights * nll) / jnp.sum(weights), factors
 
 
 def dense_labels(label_idx, n_entities: int, dtype):
     """Padded true-tail index lists (B, L) -> multi-hot (B, N); pad value
-    n_entities is dropped by the scatter."""
+    n_entities is dropped by the scatter.  No longer on the training path
+    (bce_loss gathers at the label indices instead of materializing the
+    multi-hot); kept as the explicit dense form for parity tests against
+    the reference's KGDataset2 label matrices."""
     b = label_idx.shape[0]
     lab = jnp.zeros((b, n_entities), dtype=dtype)
     rows = jnp.arange(b)[:, None]
@@ -237,28 +248,43 @@ def dense_labels(label_idx, n_entities: int, dtype):
 def bce_loss(model, params, batch, weights, label_idx, n_entities: int,
              smoothing: float | None):
     """BCE(sigmoid(preds), smoothed multi-hot labels) (kg_optimizer.py:155-162),
-    computed in log-space for stability."""
+    computed in log-space for stability.
+
+    Factored label-gather form: with y = (1-eps)*y0 + eps/N (y0 multi-hot),
+        -(y log_p + (1-y) log_1mp)
+      =  -(eps/N) log_p - (1 - eps/N) log_1mp          [label-independent]
+         - (1-eps) * y0 * (log_p - log_1mp)            [labels only]
+    so the (B, N) term is a dense elementwise reduce XLA fuses into the
+    score chain, and the label term is a (B, Lw) gather of (log_p - log_1mp)
+    at the padded label indices — no (B, N) multi-hot scatter, no extra
+    (B, N) multiply passes.  The eval packs guarantee label rows are
+    deduplicated (data/dataset.py::label_pack), so the gathered sum equals
+    the multi-hot dot product exactly (up to summation order)."""
     queries = batch[:, :2]
     preds = model.score_all(params, queries)  # (B, N) — or (B, Np) padded
     factors = model.get_factors(params, queries, None)
     valid = _pad_col_mask(preds, n_entities)
-    # labels built at the REAL width (the pad value n_entities must drop in
-    # the scatter, not land on a pad column), then zero-padded to match
-    y = dense_labels(label_idx, n_entities, preds.dtype)
-    if valid is not None:
-        y = jnp.pad(y, ((0, 0), (0, preds.shape[-1] - n_entities)))
     eps = 0.0 if smoothing is None else smoothing
-    if eps:
-        y = (1.0 - eps) * y + eps / n_entities
     # BCE = -(y log sigma + (1-y) log(1-sigma)); torch.nn.BCELoss clamps each
     # log term at -100 (the reference's effective semantics) — mirrored here.
-    log_p = jnp.maximum(_logsigmoid(preds), -100.0)
-    log_1mp = jnp.maximum(_logsigmoid(-preds), -100.0)
-    per_elt = -(y * log_p + (1 - y) * log_1mp)
+    # logsig(-x) = logsig(x) - x (exact): ONE softplus pass over (B, N)
+    # instead of two — the CE/BCE steps are VPU-transcendental-bound
+    # (CLAUDE.md perf ledger), so halving the softplus work matters.
+    ls = _logsigmoid(preds)
+    log_p = jnp.maximum(ls, -100.0)
+    log_1mp = jnp.maximum(ls - preds, -100.0)
+    dense = -((eps / n_entities) * log_p + (1.0 - eps / n_entities) * log_1mp)
     if valid is not None:
-        per_elt = jnp.where(valid, per_elt, 0.0)
+        dense = jnp.where(valid, dense, 0.0)
     w = weights[:, None]
-    return jnp.sum(w * per_elt) / (jnp.sum(weights) * n_entities), factors
+    total = jnp.sum(w * dense)
+    # label gather: pad ids (= n_entities) clamp to a real/pad column but are
+    # masked out of the sum, so the clamped value never contributes
+    lab_ok = (label_idx < n_entities).astype(preds.dtype)
+    idx = jnp.minimum(label_idx, preds.shape[-1] - 1)
+    bump = jnp.take_along_axis(log_p - log_1mp, idx, axis=1)
+    total = total - (1.0 - eps) * jnp.sum(w * lab_ok * bump)
+    return total / (jnp.sum(weights) * n_entities), factors
 
 
 def signed_logsigmoid_ce_loss(model, params, batch, weights,
@@ -275,9 +301,10 @@ def signed_logsigmoid_ce_loss(model, params, batch, weights,
     if valid is not None:
         log_prob = jnp.where(valid, log_prob, 0.0)
     gold = jnp.take_along_axis(preds, tails[:, None], axis=1)
-    bump = _logsigmoid(gold) - _logsigmoid(-gold)
-    log_prob = log_prob + jnp.zeros_like(log_prob).at[
-        jnp.arange(preds.shape[0])[:, None], tails[:, None]
-    ].add(bump)
-    w = weights[:, None]
-    return -jnp.sum(w * log_prob) / (jnp.sum(weights) * n), factors
+    bump = _logsigmoid(gold) - _logsigmoid(-gold)  # (B, 1)
+    # the bump lands on one column per row and the loss sums over columns —
+    # add the (B, 1) bump to the row sums directly instead of the original
+    # zeros_like().at[rows, tails].add(bump), which materialized + copied a
+    # (B, N) matrix per step just to carry B scalars into the reduction
+    row_sum = jnp.sum(log_prob, axis=-1, keepdims=True) + bump
+    return -jnp.sum(weights[:, None] * row_sum) / (jnp.sum(weights) * n), factors

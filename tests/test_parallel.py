@@ -66,6 +66,47 @@ def test_eight_devices_present():
     assert len(jax.devices()) == 8
 
 
+def test_pad_unpad_keep_row_coincident_bystanders():
+    """pad/unpad_entity_tree must key by NAME, not shape alone: a rel table
+    with exactly padded_rows(n_ent) rows (e.g. 63 entities + 32 raw
+    relations -> 64-row rel under a 2-wide model axis) must survive the
+    checkpoint-canonicalization round trip untruncated, in both the params
+    dict and a mirrored optimizer-moment tree."""
+    from complexhyperbolickge_tpu.parallel import pad_entity_tree
+
+    np_ = padded_rows(63, 2)
+    assert np_ == 64
+    params = {
+        "entity": jnp.ones((63, 4)),
+        "bh": jnp.ones((63, 1)),
+        "bt": jnp.ones((63, 1)),
+        "rel": jnp.arange(64 * 4, dtype=jnp.float32).reshape(64, 4),
+    }
+    moments = {"mu": jax.tree.map(jnp.zeros_like, params)}
+
+    padded = pad_entity_tree(params, 63, np_)
+    assert padded["entity"].shape[0] == 64
+    assert padded["rel"].shape == (64, 4)  # untouched by the pad
+
+    un = unpad_entity_tree(padded, 63, np_)
+    assert un["entity"].shape[0] == 63
+    assert un["bh"].shape[0] == 63 and un["bt"].shape[0] == 63
+    np.testing.assert_array_equal(un["rel"], params["rel"])  # NOT sliced
+
+    un_m = unpad_entity_tree(pad_entity_tree(moments, 63, np_), 63, np_)
+    assert un_m["mu"]["entity"].shape[0] == 63
+    assert un_m["mu"]["rel"].shape == (64, 4)
+
+
+def test_synthetic_kg_entities_exceeding_default_train_size():
+    """synthetic_kg guarantees every entity id appears in train, so it must
+    grow n_train when n_entities exceeds it (--synthetic_entities 4096 with
+    the default n_train crashed here before the guard)."""
+    big = synthetic_kg(n_entities=4096, n_relations=5)
+    n_ent, n_rel, _ = big.get_shape()
+    assert n_ent == 4096 and big.get_examples("train").shape[0] >= 4096
+
+
 def test_dp_training_matches_single_device(data, setup):
     model, params = setup
     n_ent, n_rel, _ = data.get_shape()
@@ -312,10 +353,11 @@ def test_sharded_gnn_ranker_other_bias_modes(data, bias, gamma):
 
 def test_bce_training_on_mesh_matches_single_device(data, setup):
     """BCE (label-pack) training on a (2,4) mesh with a PADDED entity table:
-    dense_labels scatters at the REAL width and zero-pads, and the loss masks
-    pad columns (train/losses.py::bce_loss) — loss and updated real rows must
-    match single-device.  Labels ride shard_epoch_arrays' third slot (batch
-    dim on 'data').  SGD for the repo-wide trajectory-parity rule."""
+    the factored label-gather loss masks pad columns out of its dense term
+    and pad label ids out of its gather (train/losses.py::bce_loss) — loss
+    and updated real rows must match single-device.  Labels ride
+    shard_epoch_arrays' third slot (batch dim on 'data').  SGD for the
+    repo-wide trajectory-parity rule."""
     model, params = setup
     n_ent, n_rel, _ = data.get_shape()
     tcfg = TrainConfig(learning_rate=0.001, batch_size=64, neg_sample_size=0,
