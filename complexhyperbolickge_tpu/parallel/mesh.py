@@ -108,8 +108,25 @@ def padded_rows(n: int, n_shards: int) -> int:
     return -(-n // n_shards) * n_shards
 
 
+def _is_entity_leaf(path) -> bool:
+    """True when a tree path addresses an entity-table leaf: its innermost
+    dict/attr name is one of _ENTITY_PARAMS.  Optimizer-moment trees mirror
+    the params dict (optax states hold params-shaped dicts), so the name is
+    always present; keying by NAME + shape (not shape alone) keeps a
+    coincidentally row-matched leaf — e.g. a 64-row 'rel' table next to a
+    63->64-padded entity table — from being padded or truncated."""
+    name = None
+    for k in path:
+        if isinstance(k, jax.tree_util.DictKey):
+            name = k.key
+        elif isinstance(k, jax.tree_util.GetAttrKey):
+            name = k.name
+    return name in _ENTITY_PARAMS
+
+
 def pad_entity_tree(tree, n_entities: int, np_: int):
-    """Zero-pad every leaf with leading dim n_entities to np_ rows.
+    """Zero-pad every entity-table leaf with leading dim n_entities to np_
+    rows (leaves selected by name via _is_entity_leaf, then by shape).
 
     Real datasets have odd entity counts (WN18RR 40,943; FB237 14,541;
     YAGO3-10 123,182 = 2*61,591), while jax sharding requires the sharded
@@ -124,28 +141,33 @@ def pad_entity_tree(tree, n_entities: int, np_: int):
     if np_ == n_entities:
         return tree
 
-    def f(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_entities:
+    def f(path, x):
+        if (_is_entity_leaf(path) and hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] == n_entities):
             widths = [(0, np_ - n_entities)] + [(0, 0)] * (x.ndim - 1)
             return (np.pad if isinstance(x, np.ndarray) else jnp.pad)(x, widths)
         return x
 
-    return jax.tree.map(f, tree)
+    return jax.tree_util.tree_map_with_path(f, tree)
 
 
 def unpad_entity_tree(tree, n_entities: int, np_: int):
-    """Inverse of pad_entity_tree: slice every np_-row leaf back to
-    n_entities rows (checkpoints stay canonical/portable — test.py, export
-    and single-chip eval all see reference shapes)."""
+    """Inverse of pad_entity_tree: slice every np_-row ENTITY-TABLE leaf
+    back to n_entities rows (checkpoints stay canonical/portable — test.py,
+    export and single-chip eval all see reference shapes).  Leaves are
+    selected by name (_is_entity_leaf) + shape: shape alone truncated any
+    same-row-count bystander, e.g. a rel table of exactly padded_rows(n)
+    rows would silently lose its last rows at every checkpoint write."""
     if np_ == n_entities:
         return tree
 
-    def f(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == np_:
+    def f(path, x):
+        if (_is_entity_leaf(path) and hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] == np_):
             return x[:n_entities]
         return x
 
-    return jax.tree.map(f, tree)
+    return jax.tree_util.tree_map_with_path(f, tree)
 
 
 def param_shardings(mesh: Mesh, params: dict) -> dict:
