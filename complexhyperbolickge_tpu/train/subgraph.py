@@ -38,7 +38,9 @@ def build_subgraph_labels(sub: Subgraph, max_nodes: int) -> np.ndarray:
     Python dict loop: the label build must not serialize the device step
     (this runs on the producer thread of the double-buffered epoch)."""
     b = len(sub.queries)
-    labels = np.zeros((b, max_nodes), dtype=np.float32)
+    # uint8: the (B, max_nodes) matrix is per-step host->device traffic;
+    # the loss casts on device (train/subgraph.py::SubgraphTrainer._loss)
+    labels = np.zeros((b, max_nodes), dtype=np.uint8)
     q = np.asarray(sub.queries)
     labels[np.arange(b), q[:, 2]] = 1.0
     tmask = sub.train_mask[: sub.n_edges] > 0
@@ -123,12 +125,17 @@ class SubgraphTrainer:
                 nll = (1 - eps) * nll + eps * smooth
             loss = jnp.sum(qw * nll) / jnp.sum(qw)
         else:  # binarycrossentropy over subgraph nodes
-            y = labels
+            # labels travel host->device as uint8 (4x less per-step transfer
+            # than f32 at (B, max_nodes)); cast on device
+            y = labels.astype(s.dtype)
             eps = cfg.smoothing or 0.0
             if eps:
                 y = (1 - eps) * y + eps / n_nodes
-            log_p = jnp.maximum(jax.nn.log_sigmoid(s), -100.0)
-            log_1mp = jnp.maximum(jax.nn.log_sigmoid(-s), -100.0)
+            # logsig(-x) = logsig(x) - x: one softplus pass over the
+            # (B, max_nodes) matrix instead of two (train/losses.py::bce_loss)
+            ls = jax.nn.log_sigmoid(s)
+            log_p = jnp.maximum(ls, -100.0)
+            log_1mp = jnp.maximum(ls - s, -100.0)
             per = -(y * log_p + (1 - y) * log_1mp) * node_w[None, :]
             loss = jnp.sum(per * qw[:, None]) / (jnp.sum(qw) * n_nodes)
 
