@@ -238,10 +238,16 @@ def make_sharded_gnn_ranker(model, mesh, n_entities: int):
     jit_fn = jax.jit(fn)
 
     def _pad(params, x):
+        # the ENCODED node table rides under the "entity" key so the
+        # name-keyed pad_entity_tree (mesh.py::_is_entity_leaf) pads it —
+        # it IS the per-entity table of this eval path
         sub = pad_entity_tree(
-            {"x": x, "bh": params["bh"], "bt": params["bt"]}, n_entities, np_
+            {"entity": x, "bh": params["bh"], "bt": params["bt"]},
+            n_entities, np_,
         )
-        return sub["x"], sub["bh"], sub["bt"], {k: params[k] for k in rest_keys}
+        return sub["entity"], sub["bh"], sub["bt"], {
+            k: params[k] for k in rest_keys
+        }
 
     pad_jit = jax.jit(_pad, out_shardings=(row_sh, row_sh, row_sh, rep))
 
