@@ -16,6 +16,6 @@ Design stance (TPU-first, not a port):
     'data' axis, entity table / score-matrix entity axis on 'model'.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # keep in sync with pyproject.toml
 
 from complexhyperbolickge_tpu.models import all_models, get_model  # noqa: F401
