@@ -95,12 +95,37 @@ def main():
             windows.append(n_epochs * n_tr / dt)
         return float(np.median(windows))
 
+    # Fail FAST (with a diagnosis) instead of hanging forever if the TPU
+    # tunnel is down: a wedged/absent relay makes even trivial programs
+    # block indefinitely inside the first compile (r03 saw an hour-plus
+    # outage).  SIGALRM converts that into a clear error the driver can
+    # record and retry.
+    import signal
+
+    headline_budget = float(os.environ.get("BENCH_HEADLINE_BUDGET_S", "2700"))
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(
+            f"headline measurement exceeded {headline_budget:.0f}s "
+            "(BENCH_HEADLINE_BUDGET_S) — the TPU tunnel is likely down or "
+            "wedged; retry when the relay is back"
+        )
+
+    try:
+        _old = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(int(headline_budget))
+    except ValueError:  # not the main thread
+        _old = None
+
     tps = measure(
         TrainConfig(optimizer="Adam", learning_rate=3e-4, batch_size=BATCH,
                     neg_sample_size=NEG, regularizer="N3", reg=0.0,
                     neg_mode="pool", neg_pool_size=512),
         n_windows=3,
     )
+    if _old is not None:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, _old)
 
     secondary = {}
     # Each secondary costs one more compile through the remote tunnel
