@@ -100,32 +100,42 @@ def main():
     # block indefinitely inside the first compile (r03 saw an hour-plus
     # outage).  SIGALRM converts that into a clear error the driver can
     # record and retry.
+    import contextlib
     import signal
 
+    @contextlib.contextmanager
+    def watchdog(seconds: float, message: str):
+        """SIGALRM-backed timeout; no-op off the main thread."""
+
+        def _on_alarm(signum, frame):
+            raise TimeoutError(message)
+
+        try:
+            old = signal.signal(signal.SIGALRM, _on_alarm)
+            signal.alarm(int(max(1, seconds)))
+        except ValueError:  # not the main thread
+            old = None
+        try:
+            yield
+        finally:
+            if old is not None:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
+
     headline_budget = float(os.environ.get("BENCH_HEADLINE_BUDGET_S", "2700"))
-
-    def _on_alarm(signum, frame):
-        raise TimeoutError(
-            f"headline measurement exceeded {headline_budget:.0f}s "
-            "(BENCH_HEADLINE_BUDGET_S) — the TPU tunnel is likely down or "
-            "wedged; retry when the relay is back"
+    with watchdog(
+        headline_budget,
+        f"headline measurement exceeded {headline_budget:.0f}s "
+        "(BENCH_HEADLINE_BUDGET_S) — the TPU tunnel is likely down or "
+        "wedged; retry when the relay is back",
+    ):
+        tps = measure(
+            TrainConfig(optimizer="Adam", learning_rate=3e-4,
+                        batch_size=BATCH, neg_sample_size=NEG,
+                        regularizer="N3", reg=0.0,
+                        neg_mode="pool", neg_pool_size=512),
+            n_windows=3,
         )
-
-    try:
-        _old = signal.signal(signal.SIGALRM, _on_alarm)
-        signal.alarm(int(headline_budget))
-    except ValueError:  # not the main thread
-        _old = None
-
-    tps = measure(
-        TrainConfig(optimizer="Adam", learning_rate=3e-4, batch_size=BATCH,
-                    neg_sample_size=NEG, regularizer="N3", reg=0.0,
-                    neg_mode="pool", neg_pool_size=512),
-        n_windows=3,
-    )
-    if _old is not None:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, _old)
 
     secondary = {}
     # Each secondary costs one more compile through the remote tunnel
@@ -136,17 +146,7 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     if os.environ.get("BENCH_SECONDARY", "1") != "0" \
             and time.perf_counter() - t_start < budget_s * 0.6:
-        import signal
-
-        def _on_alarm(signum, frame):
-            raise TimeoutError("secondary measurement exceeded BENCH_BUDGET_S")
-
-        try:
-            old = signal.signal(signal.SIGALRM, _on_alarm)
-            signal.alarm(int(max(60, budget_s - (time.perf_counter() - t_start))))
-        except ValueError:  # not the main thread
-            old = None
-        try:
+        def _secondaries():
             # bitwise reference-semantics sampling ((B,K,D) row gather)
             secondary["per_query_triples_per_sec"] = round(measure(
                 TrainConfig(optimizer="Adam", learning_rate=3e-4,
@@ -182,12 +182,13 @@ def main():
                                 neg_mode="pool", neg_pool_size=512),
                     n_windows=1, bb=jnp.asarray(b8_np), wb=jnp.asarray(w8_np),
                 ), 1)
+
+        try:
+            with watchdog(max(60, budget_s - (time.perf_counter() - t_start)),
+                          "secondary measurement exceeded BENCH_BUDGET_S"):
+                _secondaries()
         except BaseException as e:  # noqa: BLE001 — headline must survive
             secondary["error"] = f"{type(e).__name__}: {e}"
-        finally:
-            if old is not None:
-                signal.alarm(0)
-                signal.signal(signal.SIGALRM, old)
 
     print(json.dumps({
         "metric": "fftroth_train_throughput_wn18rr_b500_neg100_rank33_poolneg",

@@ -63,11 +63,16 @@ def main():
 
     r1 = np.asarray(dense(params, jq, jf))
     r2 = np.asarray(pallas(params, jq, jf))
-    rel = np.abs(r1 - r2) / np.maximum(r1, 1)
+    diff = np.abs(r1 - r2)
+    rel = diff / np.maximum(r1, 1)
     print(f"identical ranks: {int((r1 == r2).sum())}/{B}; "
-          f"max rel diff {rel.max():.2e} (MXU accumulation-order ties); "
+          f"max abs diff {diff.max():.0f}, max rel diff {rel.max():.2e} "
+          f"(MXU accumulation-order ties); "
           f"MRR delta {abs(np.mean(1 / r1) - np.mean(1 / r2)):.2e}")
-    assert rel.max() < 1e-3
+    # a 1-ulp score tie can flip any rank by ±1 regardless of depth (the
+    # suite's _assert_ranks_match uses the same |diff| <= 1 allowance);
+    # beyond that, require relative agreement
+    assert ((diff <= 1) | (rel < 1e-3)).all(), (diff.max(), rel.max())
 
     def bench(fn, n=20):
         np.asarray(fn(params, jq, jf))  # warm + fence (async dispatch would

@@ -49,18 +49,21 @@ def main():
         b, w, _ = epoch_batches(ex, B, rng)
         key, ek = jax.random.split(key)
         params, opt_state, loss = trainer.run_epoch(params, opt_state, b, w, ek)
-    jax.block_until_ready(params)
+    # explicit host fence on a data-dependent output: block_until_ready is
+    # UNRELIABLE through the axon tunnel (CLAUDE.md) and must not be the
+    # only thing standing between the timer and unfinished device work
+    loss = float(np.asarray(loss))
     dt = time.perf_counter() - t0
     print(f"train: {EPOCHS} epochs x {len(ex):,} triples in {dt:.2f}s "
           f"= {EPOCHS * len(ex) / dt:,.0f} triples/s (loss {loss:.4f})")
 
     rank_fn = make_best_ranker(model, B)
-    # warm (compile) the eval programs outside the timed region
-    pack = data.eval_pack("valid", "rhs")
-    import jax.numpy as jnp
-
-    np.asarray(rank_fn(params, jnp.asarray(pack.queries[:B]),
-                       jnp.asarray(pack.filter_idx[:B])))
+    # warm (compile) the eval program outside the timed region — the REAL
+    # one: compute_metrics takes the whole-split rank_many scan path, so
+    # warming the per-batch program would leave the timed region paying a
+    # fresh tunnel compile
+    avg_both(compute_metrics(model, params, data, "valid", B,
+                             rank_fn=rank_fn))
     t0 = time.perf_counter()
     m = avg_both(compute_metrics(model, params, data, "valid", B,
                                  rank_fn=rank_fn))

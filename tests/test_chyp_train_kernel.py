@@ -49,15 +49,32 @@ def test_vjp_matches_core(pair):
                                atol=1e-6)
 
 
-def test_dispatcher_flag(pair):
-    """set_fused_train_scorer routes the train shape through the kernel."""
+def test_dispatcher_flag(pair, monkeypatch):
+    """set_fused_train_scorer must route the train-shaped chyp_distance call
+    THROUGH the dispatcher into the fused kernel — verified by (a) tagging
+    chyp_train_distance and asserting the tag fires only with the flag on,
+    and (b) value agreement with the XLA core path."""
     lhs, rhs = pair
-    base = CH.chyp_distance(lhs[:, None, :], rhs)
+    base = CH.chyp_distance(lhs[:, None, :], rhs)  # flag off -> XLA core
+
+    calls = []
+    real = chyp_train_distance
+
+    def tagged(l, r):
+        calls.append(l.shape)
+        return real(l, r)
+
+    monkeypatch.setattr(chyp_train, "chyp_train_distance", tagged)
     try:
         CH.set_fused_train_scorer(True)
-        # CPU: compiled Pallas unavailable -> only check the flag plumbing by
-        # monkeypatching interpret mode via direct call equivalence
-        fused = chyp_train_distance(lhs, rhs)
+        fused = CH.chyp_distance(lhs[:, None, :], rhs)  # the dispatcher
     finally:
         CH.set_fused_train_scorer(False)
+    assert calls == [lhs.shape], "dispatcher did not route through the kernel"
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base), rtol=1e-5)
+
+    # flag off again: the kernel must NOT be called
+    calls.clear()
+    out = CH.chyp_distance(lhs[:, None, :], rhs)
+    assert calls == []
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), rtol=1e-7)

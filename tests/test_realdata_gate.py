@@ -114,7 +114,9 @@ def _train_reference() -> float:
                     valid_ex, copy.deepcopy(filters), batch_size=500
                 )
             valid_mrr = (mrr["lhs"] + mrr["rhs"]) / 2
-            if not best_mrr or valid_mrr > best_mrr:
+            # `is None`, not falsy: a legitimate best of 0.0 must not reset
+            # the patience counter forever (500 epochs of CPU f64)
+            if best_mrr is None or valid_mrr > best_mrr:
                 best_mrr, counter = valid_mrr, 0
                 best_state = copy.deepcopy(model.state_dict())
             else:
