@@ -478,7 +478,9 @@ def train(args) -> dict:
             ))
             logging.info(format_metrics(valid_metrics, split="valid"))
             valid_mrr = valid_metrics["MRR"]
-            if not best_mrr or valid_mrr > best_mrr:
+            # `is None`, not falsy: a legitimate best MRR of 0.0 must count
+            # as set, or the patience counter resets on every validation
+            if best_mrr is None or valid_mrr > best_mrr:
                 best_mrr, counter, best_epoch = valid_mrr, 0, epoch
                 logging.info("\t Saving model at epoch %d in %s", epoch, save_dir)
                 save_checkpoint(save_dir, _canon(params), _canon(opt_state), epoch, best_mrr,
@@ -527,7 +529,7 @@ def train(args) -> dict:
             break
 
     logging.info("\t Optimization finished")
-    if best_mrr:
+    if best_mrr is not None:
         logging.info("\t Loading best model saved at epoch %s", best_epoch)
         params = load_checkpoint(save_dir)["params"]
     else:
