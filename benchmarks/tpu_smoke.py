@@ -64,7 +64,51 @@ def main():
         except Exception as e:  # noqa: BLE001 — report the full matrix
             failed.append((name, f"{type(e).__name__}: {e}"))
             print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
-    print(f"\n{len(ok)}/{len(all_models)} models OK on TPU", flush=True)
+    # the factored all-entity losses (CE / BCE label-gather / signed-CE,
+    # train/losses.py) are plain XLA but deserve one real-chip lowering +
+    # finiteness check each, on both a dense and a GNN model
+    for name, loss_name, labeled in (("FFTRotH", "crossentropy", False),
+                                     ("FFTRotH", "binarycrossentropy", True),
+                                     ("FFTRotH", "binarycrossentropy", False),
+                                     ("CompGCN", "crossentropy", False)):
+        tag = f"{name}/{loss_name}{'+labels' if labeled else ''}"
+        try:
+            cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                              multi_c=True, bias="learn", dtype="float32")
+            if name == "CompGCN":
+                class _A2:
+                    hidden_dim = 8
+                    layers = 2
+                    edge_dropout = 0.1
+                    dropout = 0.1
+                    opn = "mult"
+                    interaction = "distmult"
+                    basis = 0
+                model = get_model(name)(cfg, _A2, data)
+            else:
+                model = get_model(name)(cfg)
+            tcfg = TrainConfig(optimizer="Adam", learning_rate=1e-3,
+                               batch_size=64, neg_sample_size=0,
+                               loss=loss_name, smoothing=0.1)
+            tr = Trainer(model, tcfg, n_ent, n_rel)
+            params, opt = tr.init(jax.random.PRNGKey(0))
+            # label rows align 1:1 with get_examples rows — slice together
+            lab = data.label_pack("train")[1][:128] if labeled else None
+            b, w, lb = epoch_batches(data.get_examples("train")[:128], 64,
+                                     np.random.default_rng(0), labels=lab)
+            params, opt, loss = tr.run_epoch(
+                params, opt, jnp.asarray(b), jnp.asarray(w),
+                jax.random.PRNGKey(1),
+                labels=None if lb is None else jnp.asarray(lb))
+            assert np.isfinite(loss), f"loss={loss}"
+            ok.append(tag)
+            print(f"{tag}: loss={loss:.4f}", flush=True)
+        except Exception as e:  # noqa: BLE001 — report the full matrix
+            failed.append((tag, f"{type(e).__name__}: {e}"))
+            print(f"{tag}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    n_total = len(all_models) + 4
+    print(f"\n{len(ok)}/{n_total} model/loss programs OK on TPU", flush=True)
     if failed:
         raise SystemExit(f"failures: {failed}")
 
