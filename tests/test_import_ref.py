@@ -1,0 +1,139 @@
+"""kge-import: reference torch checkpoints -> native checkpoints.
+
+Builds real reference models (tests/reference_loader), saves their
+state_dict + config.json exactly as reference run.py:179-180,237 does, runs
+cli/import_ref.py, and asserts (a) f64 score parity between the reference
+model and the imported params, and (b) the imported dir works end to end
+through kge-test (rebuild + checkpoint load + filtered metrics).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from tests.reference_loader import load, make_args
+
+ref_hyp_mod = load("models.hyperbolic")
+ref_chyp_mod = load("models.complexhyperbolic")
+ref_euc_utils = load("utils.euclidean")
+
+from complexhyperbolickge_tpu.cli.import_ref import import_reference
+from complexhyperbolickge_tpu.models import ModelConfig, get_model
+
+# (200 entities, 22 predicates) matches --dataset synthetic's shape, so
+# kge-test can rebuild the imported model without real pickles
+N_ENT, N_REL, B = 200, 22, 16
+
+
+@pytest.fixture(autouse=True)
+def patch_reflection(monkeypatch):
+    """Reflection-family models (FFTRefH/FFTAttH/...) are compared under the
+    CORRECTED involutive reflection (the reference's typo at
+    utils/euclidean.py:73 is a documented divergence this framework fixes —
+    imported reflection-model weights score under our fixed semantics)."""
+    from tests.test_model_parity import fixed_givens_reflection
+
+    for mod in (ref_hyp_mod, ref_chyp_mod, ref_euc_utils):
+        if hasattr(mod, "givens_reflection"):
+            monkeypatch.setattr(mod, "givens_reflection",
+                                fixed_givens_reflection)
+    yield
+
+
+def _save_reference_run(tmp_path, name, rank, multi_c=True, bias="learn",
+                        seed=0):
+    """Reference run-dir layout: config.json (vars(args) incl. sizes,
+    run.py:161-180) + model.pt (state_dict, run.py:237)."""
+    torch.manual_seed(seed)
+    ref_mod = ref_chyp_mod if name.startswith("FFT") else ref_hyp_mod
+    args = make_args(sizes=(N_ENT, N_REL, N_ENT), rank=rank, multi_c=multi_c,
+                     bias=bias)
+    ref_model = getattr(ref_mod, name)(args).double()
+    if hasattr(ref_model, "lift"):
+        ref_model.lift = True  # the working semantics (SURVEY §2.4.1)
+    ref_model.eval()
+    with torch.no_grad():
+        for p in ref_model.parameters():
+            p.uniform_(-0.5, 0.5)
+        ref_model.c.weight.uniform_(0.5, 1.5)
+
+    ref_dir = tmp_path / "refrun"
+    ref_dir.mkdir()
+    cfg = dict(vars(args))
+    cfg.update({
+        "model": name, "sizes": list((N_ENT, N_REL, N_ENT)), "rank": rank,
+        "multi_c": multi_c, "bias": bias, "dtype": "double",
+        # keys our CLIs use downstream; synthetic lets kge-test run dataless
+        "dataset": "synthetic", "synthetic_entities": N_ENT,
+        "debug": False, "eval_batch_size": 64,
+    })
+    with open(ref_dir / "config.json", "w") as f:
+        json.dump({k: v for k, v in cfg.items()
+                   if isinstance(v, (int, float, str, bool, list, type(None)))},
+                  f)
+    torch.save(ref_model.cpu().state_dict(), ref_dir / "model.pt")
+    return str(ref_dir), ref_model
+
+
+@pytest.mark.parametrize("name,rank", [("FFTRotH", 9), ("RotH", 8),
+                                       ("FFTAttH", 9)])
+def test_import_scores_match_reference(tmp_path, name, rank):
+    ref_dir, ref_model = _save_reference_run(tmp_path, name, rank)
+    out = str(tmp_path / "imported")
+    params = import_reference(ref_dir, out)
+
+    cfg = ModelConfig(n_entities=N_ENT, n_relations=N_REL, rank=rank,
+                      multi_c=True, bias="learn", dtype="float64")
+    ours = get_model(name)(cfg)
+    rng = np.random.default_rng(1)
+    q = np.stack([rng.integers(0, N_ENT, B), rng.integers(0, N_REL, B)], 1)
+    t = rng.integers(0, N_ENT, (B, 1))
+
+    our_scores = np.asarray(ours.score(
+        {k: jnp.asarray(v, jnp.float64) for k, v in params.items()},
+        jnp.asarray(q.astype(np.int32)), jnp.asarray(t.astype(np.int32)),
+    ))
+    tq = torch.from_numpy(np.concatenate([q, t], 1).astype(np.int64))
+    with torch.no_grad():  # the parity suite's calling convention
+        ref_scores, _ = ref_model(tq[:, :2].unsqueeze(1), tq[:, 2].unsqueeze(1))
+    np.testing.assert_allclose(our_scores,
+                               ref_scores.squeeze(-1).numpy().reshape(B, 1),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_imported_dir_runs_kge_test(tmp_path):
+    ref_dir, _ = _save_reference_run(tmp_path, "FFTRotH", 9)
+    out = str(tmp_path / "imported")
+    import_reference(ref_dir, out)
+    from complexhyperbolickge_tpu.cli.test import test as kge_test
+
+    m = kge_test(out, split="test")
+    assert 0.0 <= m["MRR"] <= 1.0 and np.isfinite(m["MR"])
+
+
+def test_import_refuses_gnn(tmp_path):
+    ref_dir = tmp_path / "gnnrun"
+    ref_dir.mkdir()
+    with open(ref_dir / "config.json", "w") as f:
+        json.dump({"model": "CompGCN", "sizes": [10, 4, 10], "rank": 8}, f)
+    with pytest.raises(ValueError, match="GNN"):
+        import_reference(str(ref_dir), str(tmp_path / "out"))
+
+
+def test_import_rejects_mismatched_checkpoint(tmp_path):
+    """A state_dict whose tables don't fit the config must fail loudly with
+    the offending name, not silently import garbage."""
+    ref_dir, _ = _save_reference_run(tmp_path, "FFTRotH", 9)
+    # lie about the rank in config.json -> every table shape mismatches
+    with open(os.path.join(ref_dir, "config.json")) as f:
+        cfg = json.load(f)
+    cfg["rank"] = 17
+    with open(os.path.join(ref_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    with pytest.raises((ValueError, KeyError)):
+        import_reference(ref_dir, str(tmp_path / "out"))
