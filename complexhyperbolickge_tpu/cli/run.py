@@ -328,6 +328,15 @@ def train(args) -> dict:
                 candidates.append(st)
         if candidates:
             st = max(candidates, key=lambda s: s["epoch"])
+            if st["opt_state"] is None:
+                # kge-import writes params-only checkpoints: WARM-START —
+                # reference-trained weights, fresh optimizer state (the
+                # fine-tuning path for imported reference runs)
+                logging.info(
+                    "Checkpoint has no optimizer state (kge-import output?) "
+                    "— warm-starting from its params with a fresh optimizer"
+                )
+                st["opt_state"] = opt_state
             if mesh is not None:
                 # re-commit the host-loaded state onto the mesh shardings
                 # (the pre-resume params/opt_state carry the target layout;

@@ -116,6 +116,34 @@ def test_imported_dir_runs_kge_test(tmp_path):
     assert 0.0 <= m["MRR"] <= 1.0 and np.isfinite(m["MR"])
 
 
+def test_imported_checkpoint_warm_starts_training(tmp_path):
+    """kge-train --resume on a kge-import output fine-tunes the reference
+    weights: params from the checkpoint, fresh optimizer state (imported
+    checkpoints carry none)."""
+    ref_dir, _ = _save_reference_run(tmp_path, "FFTRotH", 9)
+    out = str(tmp_path / "imported")
+    imported = import_reference(ref_dir, out)
+
+    from complexhyperbolickge_tpu.cli.run import build_parser, train
+
+    args = build_parser().parse_args([
+        "--model", "FFTRotH", "--dataset", "synthetic",
+        "--synthetic_entities", str(N_ENT), "--rank", "9", "--multi_c",
+        "--bias", "learn", "--dtype", "float64", "--max_epochs", "1",
+        "--valid", "1", "--patience", "5", "--batch_size", "32",
+        "--neg_sample_size", "4", "--learning_rate", "0.01",
+        "--save_dir", out, "--resume",
+    ])
+    metrics = train(args)
+    assert np.isfinite(metrics["test"]["MRR"])
+    # training moved the weights — this was a warm start, not a no-op reload
+    from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint
+
+    after = load_checkpoint(out)["params"]
+    assert not np.allclose(np.asarray(after["entity"]),
+                           np.asarray(imported["entity"]))
+
+
 def test_import_refuses_gnn(tmp_path):
     ref_dir = tmp_path / "gnnrun"
     ref_dir.mkdir()
