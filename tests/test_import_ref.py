@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 from tests.reference_loader import load, make_args
 
+ref_euc_mod = load("models.euclidean")
+ref_cplx_mod = load("models.complex")
 ref_hyp_mod = load("models.hyperbolic")
 ref_chyp_mod = load("models.complexhyperbolic")
 ref_euc_utils = load("utils.euclidean")
@@ -50,17 +52,22 @@ def _save_reference_run(tmp_path, name, rank, multi_c=True, bias="learn",
     """Reference run-dir layout: config.json (vars(args) incl. sizes,
     run.py:161-180) + model.pt (state_dict, run.py:237)."""
     torch.manual_seed(seed)
-    ref_mod = ref_chyp_mod if name.startswith("FFT") else ref_hyp_mod
+    ref_cls = None
+    for mod in (ref_euc_mod, ref_cplx_mod, ref_hyp_mod, ref_chyp_mod):
+        if hasattr(mod, name):
+            ref_cls = getattr(mod, name)
+            break
     args = make_args(sizes=(N_ENT, N_REL, N_ENT), rank=rank, multi_c=multi_c,
                      bias=bias)
-    ref_model = getattr(ref_mod, name)(args).double()
+    ref_model = ref_cls(args).double()
     if hasattr(ref_model, "lift"):
         ref_model.lift = True  # the working semantics (SURVEY §2.4.1)
     ref_model.eval()
     with torch.no_grad():
         for p in ref_model.parameters():
             p.uniform_(-0.5, 0.5)
-        ref_model.c.weight.uniform_(0.5, 1.5)
+        if hasattr(ref_model, "c"):
+            ref_model.c.weight.uniform_(0.5, 1.5)
 
     ref_dir = tmp_path / "refrun"
     ref_dir.mkdir()
@@ -81,7 +88,8 @@ def _save_reference_run(tmp_path, name, rank, multi_c=True, bias="learn",
 
 
 @pytest.mark.parametrize("name,rank", [("FFTRotH", 9), ("RotH", 8),
-                                       ("FFTAttH", 9)])
+                                       ("FFTAttH", 9), ("ComplEx", 8),
+                                       ("TransE", 8), ("HyboNet", 8)])
 def test_import_scores_match_reference(tmp_path, name, rank):
     ref_dir, ref_model = _save_reference_run(tmp_path, name, rank)
     out = str(tmp_path / "imported")
