@@ -45,7 +45,14 @@ def import_reference(ref_dir: str, out: str, data_path: str | None = None,
     """Convert <ref_dir>/{config.json,model.pt} into a native checkpoint at
     `out`.  Returns the imported params dict (host numpy arrays as jnp)."""
     import jax.numpy as jnp
-    import torch
+
+    try:
+        import torch
+    except ImportError as e:  # torch ships in the [test] extra, not core
+        raise ImportError(
+            "kge-import reads torch checkpoints and needs torch on the "
+            "importing machine: pip install torch (CPU build is enough)"
+        ) from e
 
     from complexhyperbolickge_tpu.models import ModelConfig, get_model
     from complexhyperbolickge_tpu.train.checkpoint import save_checkpoint
