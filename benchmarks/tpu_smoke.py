@@ -20,6 +20,16 @@ def main():
     data = synthetic_kg(n_entities=301, n_relations=4, n_train=512,
                         n_valid=64, n_test=64, seed=1)
     n_ent, n_rel, _ = data.get_shape()
+
+    class GNNArgs:  # shared by the model sweep and the loss sweep below
+        hidden_dim = 8
+        layers = 2
+        edge_dropout = 0.1
+        dropout = 0.1
+        opn = "mult"
+        interaction = "distmult"
+        basis = 0
+
     ok, failed = [], []
     for name in all_models:
         try:
@@ -29,15 +39,7 @@ def main():
             cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=rank,
                               multi_c=True, bias="learn", dtype="float32")
             if name in ("PoincareGCN", "LorentzGCN", "CompGCN"):
-                class _A:
-                    hidden_dim = 8
-                    layers = 2
-                    edge_dropout = 0.1
-                    dropout = 0.1
-                    opn = "mult"
-                    interaction = "distmult"
-                    basis = 0
-                model = get_model(name)(cfg, _A, data)
+                model = get_model(name)(cfg, GNNArgs, data)
             else:
                 model = get_model(name)(cfg)
             tcfg = TrainConfig(optimizer="Adam", learning_rate=1e-3,
@@ -76,15 +78,7 @@ def main():
             cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
                               multi_c=True, bias="learn", dtype="float32")
             if name == "CompGCN":
-                class _A2:
-                    hidden_dim = 8
-                    layers = 2
-                    edge_dropout = 0.1
-                    dropout = 0.1
-                    opn = "mult"
-                    interaction = "distmult"
-                    basis = 0
-                model = get_model(name)(cfg, _A2, data)
+                model = get_model(name)(cfg, GNNArgs, data)
             else:
                 model = get_model(name)(cfg)
             tcfg = TrainConfig(optimizer="Adam", learning_rate=1e-3,

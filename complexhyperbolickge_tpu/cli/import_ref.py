@@ -43,9 +43,8 @@ GNN_MODELS = ("CompGCN", "PoincareGCN", "LorentzGCN")
 def import_reference(ref_dir: str, out: str, data_path: str | None = None,
                      eval_batch_size: int | None = None) -> dict:
     """Convert <ref_dir>/{config.json,model.pt} into a native checkpoint at
-    `out`.  Returns the imported params dict (host numpy arrays as jnp)."""
-    import jax.numpy as jnp
-
+    `out`.  Returns the imported params dict (host numpy arrays — no device
+    backend is touched, so import works on machines without accelerators)."""
     try:
         import torch
     except ImportError as e:  # torch ships in the [test] extra, not core
@@ -91,14 +90,19 @@ def import_reference(ref_dir: str, out: str, data_path: str | None = None,
                 f"reference state_dict has no '{key}' (keys: "
                 f"{sorted(sd.keys())}) — checkpoint/model mismatch?"
             )
-        # torch .numpy() aliases the tensor buffer; copy before handing to jax
+        # torch .numpy() aliases the tensor buffer; copy before use.  Stay in
+        # NUMPY end to end: jnp.asarray would (a) silently truncate f64 to
+        # f32 unless jax_enable_x64 is on — defeating double-checkpoint
+        # parity — and (b) initialize the device backend (on this image, a
+        # remote-TPU dial) just to convert arrays save_checkpoint converts
+        # straight back to host anyway.
         w = np.array(sd[key].detach().to(torch.float64).numpy(), copy=True)
         if tuple(w.shape) != tuple(shape):
             raise ValueError(
                 f"{model_name}.{name}: reference shape {tuple(w.shape)} != "
                 f"expected {tuple(shape)}"
             )
-        params[name] = jnp.asarray(w, dtype=cfg.dtype)
+        params[name] = np.asarray(w, dtype=cfg.dtype)
     unused = sorted(k for k in sd if k.split(".")[0] not in model.param_specs())
     if unused:
         logging.warning("ignored reference state entries: %s", unused)
@@ -107,9 +111,10 @@ def import_reference(ref_dir: str, out: str, data_path: str | None = None,
     # reference's config already carries most of them verbatim)
     our_args = dict(ref_cfg)
     our_args["dtype"] = dtype
-    our_args.setdefault("data_path", data_path or "data")
     if data_path:
         our_args["data_path"] = data_path
+    else:
+        our_args.setdefault("data_path", "data")
     if eval_batch_size:
         our_args["eval_batch_size"] = eval_batch_size
     our_args.setdefault("eval_batch_size", 1000)

@@ -328,10 +328,15 @@ def train(args) -> dict:
                 candidates.append(st)
         if candidates:
             st = max(candidates, key=lambda s: s["epoch"])
-            if st["opt_state"] is None:
+            warm_start = st["opt_state"] is None
+            if warm_start:
                 # kge-import writes params-only checkpoints: WARM-START —
                 # reference-trained weights, fresh optimizer state (the
-                # fine-tuning path for imported reference runs)
+                # fine-tuning path for imported reference runs).  The fresh
+                # opt_state already carries the live layout: it must NOT go
+                # through the host-side _fit remap below (np.asarray on a
+                # multi-process global array is an error, and single-process
+                # it is a pointless device->host->device round trip).
                 logging.info(
                     "Checkpoint has no optimizer state (kge-import output?) "
                     "— warm-starting from its params with a fresh optimizer"
@@ -367,7 +372,9 @@ def train(args) -> dict:
                     return jnp.asarray(x)
 
                 st["params"] = jax.tree.map(_fit, st["params"], params)
-                st["opt_state"] = jax.tree.map(_fit, st["opt_state"], opt_state)
+                if not warm_start:
+                    st["opt_state"] = jax.tree.map(_fit, st["opt_state"],
+                                                   opt_state)
             params, opt_state = st["params"], st["opt_state"]
             start_epoch = st["epoch"] + 1
             best_mrr = st["best_mrr"]
