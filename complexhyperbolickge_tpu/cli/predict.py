@@ -30,8 +30,9 @@ from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint, load_conf
 from complexhyperbolickge_tpu.train.evaluate import make_predictor
 
 
-def predict(model_dir: str, queries, k: int = 10, filter_known: bool = False):
-    setup_logging(model_dir, to_file=False)
+def load_serving_state(model_dir: str):
+    """(model, params, dataset) reloaded from a model dir — the shared
+    loading path of kge-predict and kge-serve."""
     cfg = load_config(model_dir)["args"]
     args = argparse.Namespace(**cfg)
     apply_dtype_policy(args)  # f64 on CPU; coerced to f32 on TPU
@@ -42,6 +43,34 @@ def predict(model_dir: str, queries, k: int = 10, filter_known: bool = False):
     # after the dtype-policy f32 coercion (shapes stay strict)
     params = load_checkpoint(model_dir, expect_params=expected,
                              cast_to_expected=True)["params"]
+    return model, params, dataset
+
+
+def known_tail_filters(dataset, q, lmax: int | None = None):
+    """Padded known-true-tail ids for (head, rel) queries — masks already-
+    known facts out of predictions.  rhs filters are keyed by raw relation
+    ids; inverse-relation queries (r >= n_rel/2, i.e. head prediction) live
+    in the lhs dict, keyed by the offset id directly (preprocess.py:50-64).
+    lmax pins the padded width (static serving shapes); overflowing lists
+    are truncated to the WIDEST lmax entries known."""
+    skip = dataset.get_filters()
+    n_ent = dataset.n_entities
+    n_raw = dataset.n_predicates // 2
+    lists = [
+        skip["rhs" if int(r) < n_raw else "lhs"].get((int(h), int(r)), [])
+        for h, r in q
+    ]
+    if lmax is None:
+        lmax = max((len(v) for v in lists), default=0) or 1
+    fidx = np.full((len(q), lmax), n_ent, dtype=np.int32)
+    for i, l in enumerate(lists):
+        fidx[i, : len(l)] = l[:lmax]
+    return jnp.asarray(fidx)
+
+
+def predict(model_dir: str, queries, k: int = 10, filter_known: bool = False):
+    setup_logging(model_dir, to_file=False)
+    model, params, dataset = load_serving_state(model_dir)
 
     q = np.asarray(queries, dtype=np.int32)
     assert q.ndim == 2 and q.shape[1] == 2, "queries must be (B, 2) (head, rel)"
@@ -50,23 +79,7 @@ def predict(model_dir: str, queries, k: int = 10, filter_known: bool = False):
     assert ((q[:, 1] >= 0) & (q[:, 1] < dataset.n_predicates)).all(), \
         "relation id out of range"
 
-    fidx = None
-    if filter_known:
-        # rhs filters are keyed by raw relation ids; inverse-relation
-        # queries (r >= n_rel/2, i.e. head prediction) live in the lhs dict,
-        # which is keyed by the offset id directly (preprocess.py:50-64)
-        skip = dataset.get_filters()
-        n_raw = dataset.n_predicates // 2
-        lists = [
-            skip["rhs" if int(r) < n_raw else "lhs"].get((int(h), int(r)), [])
-            for h, r in q
-        ]
-        lmax = max((len(v) for v in lists), default=0) or 1
-        fidx = np.full((len(q), lmax), n_ent, dtype=np.int32)
-        for i, l in enumerate(lists):
-            fidx[i, : len(l)] = l
-        fidx = jnp.asarray(fidx)
-
+    fidx = known_tail_filters(dataset, q) if filter_known else None
     fn = make_predictor(model, k=k)
     ids, scores = fn(params, jnp.asarray(q), fidx)
     out = []
