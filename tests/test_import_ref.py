@@ -152,6 +152,36 @@ def test_imported_checkpoint_warm_starts_training(tmp_path):
                            np.asarray(imported["entity"]))
 
 
+def test_imported_checkpoint_serves_over_http(tmp_path):
+    """The full migration story: reference run dir -> kge-import ->
+    kge-serve -> predictions over HTTP."""
+    import threading
+    import urllib.request
+
+    ref_dir, _ = _save_reference_run(tmp_path, "FFTRotH", 9)
+    out = str(tmp_path / "imported")
+    import_reference(ref_dir, out)
+
+    from complexhyperbolickge_tpu.cli.serve import PredictService, make_server
+
+    service = PredictService(out, k=3, batch=4, max_filter_len=8)
+    srv = make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/predict"
+        req = urllib.request.Request(
+            url, data=json.dumps({"queries": [[5, 1], [9, 3]]}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            got = json.loads(r.read())
+        assert len(got) == 2 and all(len(g["tails"]) == 3 for g in got)
+        assert all(np.isfinite(g["scores"]).all() for g in got)
+    finally:
+        srv.shutdown()
+
+
 def test_import_refuses_gnn(tmp_path):
     ref_dir = tmp_path / "gnnrun"
     ref_dir.mkdir()
