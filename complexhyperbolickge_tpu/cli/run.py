@@ -117,10 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "it cannot build)")
     p.add_argument("--eval_precision", default="highest",
                    choices=["highest", "default"],
-                   help="Pallas-ranker MXU precision: 'highest' (6-pass f32 "
-                        "emulation, ranks bitwise-comparable with the dense "
-                        "path) or 'default' (1-pass bf16 contraction, ~1.08x "
-                        "on v5e, MRR deltas ~5e-8 at WN18RR scale)")
+                   help="eval score-matmul MXU precision, all backends: "
+                        "'highest' (6-pass f32 emulation, exact reference "
+                        "ranks) or 'default' (1-pass bf16 contraction; "
+                        "~1.08x on the transcendental-bound geometric "
+                        "rankers with MRR deltas ~5e-8 at WN18RR scale, "
+                        "larger gains expected on the MXU-bound GNN "
+                        "decoder sweep)")
     p.add_argument("--mesh", default=None,
                    help="device mesh 'DATAxMODEL' (e.g. 4x2): shard batches "
                         "over 'data' and the entity table / eval score axis "

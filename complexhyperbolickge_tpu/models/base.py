@@ -26,6 +26,8 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from complexhyperbolickge_tpu.ops.math import mm_precision
+
 Params = Dict[str, jax.Array]
 
 _DTYPES = {
@@ -218,7 +220,7 @@ def dot_train(x, y):
 
 def dot_all(x, y):
     """(B, d) vs (N, d) -> (B, N) inner products as one MXU matmul."""
-    return jnp.matmul(x, y.T, preferred_element_type=x.dtype, precision="highest")
+    return jnp.matmul(x, y.T, preferred_element_type=x.dtype, precision=mm_precision())
 
 
 def sq_norms(v, axis=-1):

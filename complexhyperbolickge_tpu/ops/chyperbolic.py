@@ -30,6 +30,7 @@ from complexhyperbolickge_tpu.ops.math import (
     MIN_NORM,
     artanh,
     ball_eps,
+    mm_precision,
     safe_norm,
     st_clip,
     tanh,
@@ -249,8 +250,8 @@ def chyp_distance_all(lhs, rhs):
     (complexhyperbolic.py:203-204) — matching _chyp_distance_core.
     """
     eps = ball_eps(lhs.dtype)
-    sr = jnp.matmul(lhs, rhs.T, preferred_element_type=lhs.dtype, precision="highest") - 1.0
-    si = jnp.matmul(swap_neg(lhs), rhs.T, preferred_element_type=lhs.dtype, precision="highest")
+    sr = jnp.matmul(lhs, rhs.T, preferred_element_type=lhs.dtype, precision=mm_precision()) - 1.0
+    si = jnp.matmul(swap_neg(lhs), rhs.T, preferred_element_type=lhs.dtype, precision=mm_precision())
     znorm = hermitian_sqnorm_lifted(lhs)[:, None]  # (B, 1)
     wnorm = hermitian_sqnorm_lifted(rhs)[None, :]  # (1, N)
     x = _chyp_x(sr, si, znorm, wnorm, eps)
@@ -259,8 +260,8 @@ def chyp_distance_all(lhs, rhs):
 
 def _chyp_all_fwd(lhs, rhs):
     eps = ball_eps(lhs.dtype)
-    sr = jnp.matmul(lhs, rhs.T, preferred_element_type=lhs.dtype, precision="highest") - 1.0
-    si = jnp.matmul(swap_neg(lhs), rhs.T, preferred_element_type=lhs.dtype, precision="highest")
+    sr = jnp.matmul(lhs, rhs.T, preferred_element_type=lhs.dtype, precision=mm_precision()) - 1.0
+    si = jnp.matmul(swap_neg(lhs), rhs.T, preferred_element_type=lhs.dtype, precision=mm_precision())
     zn = jnp.clip(hermitian_sqnorm_lifted(lhs), -1.0, -eps)[:, None]  # (B, 1)
     wn = jnp.clip(hermitian_sqnorm_lifted(rhs), -1.0, -eps)[None, :]  # (1, N)
     x = jnp.maximum(2 * (sr * sr + si * si) / (zn * wn) - 1.0, 1 + eps)

@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from complexhyperbolickge_tpu.ops.math import MIN_NORM, arcosh, artanh, ball_eps, safe_norm, tanh
+from complexhyperbolickge_tpu.ops.math import (MIN_NORM, arcosh, artanh,
+                                               ball_eps, mm_precision,
+                                               safe_norm, tanh)
 
 
 # ------------------------------- Poincare ball -------------------------------
@@ -129,7 +131,7 @@ def hyp_distance_multi_c_all(x, v, c):
     """
     vnorm = safe_norm(v)  # (N, 1); NaN-grad-free at v == 0
     vdir = v / vnorm
-    xv = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype, precision="highest")  # (B, N)
+    xv = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype, precision=mm_precision())  # (B, N)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (B, 1)
     return _hyp_dist_multi_c_from_parts(x2, xv, vnorm[:, 0][None, :], c)
 
@@ -201,7 +203,7 @@ def hyp_distance_multi_c_lorentz_all(x, v, c):
     x0 = jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True) + 1 / c)  # (B, 1)
     v2 = jnp.sum(v**2, axis=-1)[None, :]  # (1, N)
     v0 = jnp.sqrt(v2 + 1 / c)  # (B, N)
-    xv = jnp.matmul(x, v.T, preferred_element_type=x.dtype, precision="highest")  # (B, N)
+    xv = jnp.matmul(x, v.T, preferred_element_type=x.dtype, precision=mm_precision())  # (B, N)
     res = xv - x0 * v0
     return arcosh(-c * res) / (c**0.5)
 
@@ -221,7 +223,7 @@ def hyp_sim_expmap_all(x, v, c):
     """hyp_distance_multi_c(x, expmap0(v, c), c) in folded all-pairs form."""
     un = safe_norm(v)  # (N, 1), clamped like expmap0's u_norm
     vdir = v / un
-    xv = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype, precision="highest")  # (B, N)
+    xv = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype, precision=mm_precision())  # (B, N)
     sqrt_c = c**0.5  # (B, 1)
     eps = ball_eps(v.dtype)
     m = tanh(sqrt_c * un[:, 0][None, :]) / sqrt_c  # (B, N) radius after expmap0
@@ -242,7 +244,7 @@ def hyp_plain_sim_expmap_all(x, v, c):
     un = safe_norm(v)  # (N, 1)
     vdir = v / un
     xv_dir = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype,
-                        precision="highest")  # (B, N)
+                        precision=mm_precision())  # (B, N)
     eps = ball_eps(v.dtype)
     m = tanh(sqrt_c * un[:, 0][None, :]) / sqrt_c  # (1->B, N) ball radius
     m = jnp.minimum(m, (1 - eps) / sqrt_c)  # project() clip
@@ -262,7 +264,7 @@ def lorentz_sim_expmap_all(x, v, c):
     """hyp_distance_multi_c_lorentz(x, expmap0_lorentz(v, c), c), folded."""
     un = safe_norm(v)  # (N, 1)
     vdir = v / un
-    xdir = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype, precision="highest")  # (B, N)
+    xdir = jnp.matmul(x, vdir.T, preferred_element_type=x.dtype, precision=mm_precision())  # (B, N)
     sqrt_c = c**0.5
     alpha = sqrt_c * un[:, 0][None, :]  # (B, N)
     s = jnp.sinh(alpha) / alpha * un[:, 0][None, :]  # radius after expmap0_lorentz

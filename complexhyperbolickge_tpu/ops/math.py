@@ -96,3 +96,43 @@ def safe_norm(x, axis=-1, keepdims=True):
     this through expmap0)."""
     sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
     return jnp.sqrt(jnp.maximum(sq, MIN_NORM * MIN_NORM))
+
+
+# ----------------------- eval matmul precision override ----------------------
+
+# Trace-time override of the all-pairs eval matmuls' MXU precision.  Every
+# eval-path contraction pins precision="highest" (6-pass f32 emulation) so
+# ranks are exact vs the reference; the dense rankers opt into the 1-pass
+# bf16 MXU form (--eval_precision default) by tracing their score region
+# under eval_matmul_precision("default").  The override is read at TRACE
+# time (mm_precision() below), so it scopes to exactly the jitted region
+# built inside the context; training paths never enter the context and stay
+# at "highest".
+_EVAL_MM_OVERRIDE: str | None = None
+
+
+class eval_matmul_precision:
+    """Context manager: `with eval_matmul_precision("default"): ...` makes
+    mm_precision() return "default" for matmuls TRACED inside the block.
+    "highest" (or None) is a no-op."""
+
+    def __init__(self, precision: str | None):
+        self._p = None if precision in (None, "highest") else precision
+
+    def __enter__(self):
+        global _EVAL_MM_OVERRIDE
+        self._old = _EVAL_MM_OVERRIDE
+        if self._p is not None:
+            _EVAL_MM_OVERRIDE = self._p
+        return self
+
+    def __exit__(self, *exc):
+        global _EVAL_MM_OVERRIDE
+        _EVAL_MM_OVERRIDE = self._old
+        return False
+
+
+def mm_precision() -> str:
+    """The precision for all-pairs eval matmuls: "highest" unless inside
+    eval_matmul_precision("default")."""
+    return "highest" if _EVAL_MM_OVERRIDE is None else _EVAL_MM_OVERRIDE

@@ -63,14 +63,20 @@ def _filtered_count_local(s, target, fidx, lo, shard_n, n_entities):
     return (total - sub + add).astype(jnp.float32)
 
 
-def make_sharded_ranker(model, mesh, n_entities: int):
+def make_sharded_ranker(model, mesh, n_entities: int,
+                        precision: str = "highest"):
     """Compiled shard_map ranking: (params, q, fidx) -> float ranks (B,).
 
     Accepts params with the entity tables at EITHER the real n_entities row
     count or already padded to a model-axis multiple (mesh training); the
     tables are (re-)padded and committed row-sharded over 'model' once per
-    params version.  q and fidx are replicated.
+    params version.  q and fidx are replicated.  precision: "highest"
+    (exact 6-pass f32 score matmuls) or "default" (1-pass bf16 MXU,
+    ops/math.py::eval_matmul_precision — same opt-in as the single-device
+    rankers).
     """
+    from complexhyperbolickge_tpu.ops.math import eval_matmul_precision
+
     n_shards = mesh.shape["model"]
     np_ = padded_rows(n_entities, n_shards)
     shard_n = np_ // n_shards
@@ -85,11 +91,12 @@ def make_sharded_ranker(model, mesh, n_entities: int):
         heads = _gather_rows_sharded(params["entity"], q[:, 0], lo, shard_n)
         bh = _gather_rows_sharded(params["bh"], q[:, 0], lo, shard_n)
         q_local = jnp.stack([jnp.arange(b, dtype=q.dtype), q[:, 1]], axis=1)
-        lhs, lhs_b = model.get_queries(
-            {**params, "entity": heads, "bh": bh}, q_local
-        )
+        with eval_matmul_precision(precision):  # trace-time scope
+            lhs, lhs_b = model.get_queries(
+                {**params, "entity": heads, "bh": bh}, q_local
+            )
 
-        s = model.sim(lhs, params["entity"], all_pairs=True)  # (B, shard_n)
+            s = model.sim(lhs, params["entity"], all_pairs=True)  # (B, shard_n)
         if model.cfg.bias == "learn":
             s = lhs_b + params["bt"][None, :, 0] + s
         elif model.cfg.bias == "constant":
@@ -166,7 +173,8 @@ def make_sharded_ranker(model, mesh, n_entities: int):
     return ranker
 
 
-def make_sharded_gnn_ranker(model, mesh, n_entities: int):
+def make_sharded_gnn_ranker(model, mesh, n_entities: int,
+                            precision: str = "highest"):
     """Entity-sharded eval for GNN models: (params, q, fidx) -> ranks (B,).
 
     The full-graph encoder runs ONCE per params version, replicated — its
@@ -180,7 +188,13 @@ def make_sharded_gnn_ranker(model, mesh, n_entities: int):
 
     Reference semantics: cached forward_base during eval (gnnbase.py:240)
     + filtered ranking over all entities (base.py:228-280).
+
+    precision: "highest" (exact) or "default" (1-pass bf16 MXU for the
+    decoder sweep — the most MXU-bound eval in the framework: the distmult
+    decoder is a pure dot product).
     """
+    from complexhyperbolickge_tpu.ops.math import eval_matmul_precision
+
     n_shards = mesh.shape["model"]
     np_ = padded_rows(n_entities, n_shards)
     shard_n = np_ // n_shards
@@ -202,11 +216,12 @@ def make_sharded_gnn_ranker(model, mesh, n_entities: int):
         heads = _gather_rows_sharded(x_local, q[:, 0], lo, shard_n)
         bh = _gather_rows_sharded(bh_local, q[:, 0], lo, shard_n)
         q_local = jnp.stack([jnp.arange(b, dtype=q.dtype), q[:, 1]], axis=1)
-        lhs, lhs_b = model.get_queries(
-            {**rest, "bh": bh}, q_local, cache=(heads, rel_pack)
-        )
+        with eval_matmul_precision(precision):  # trace-time scope
+            lhs, lhs_b = model.get_queries(
+                {**rest, "bh": bh}, q_local, cache=(heads, rel_pack)
+            )
 
-        s = model.sim(lhs, x_local, all_pairs=True)  # (B, shard_n)
+            s = model.sim(lhs, x_local, all_pairs=True)  # (B, shard_n)
         if model.cfg.bias == "learn":
             s = lhs_b + bt_local[None, :, 0] + s
         elif model.cfg.bias == "constant":
@@ -603,12 +618,14 @@ def make_best_sharded_ranker(model, mesh, n_entities: int,
     (fastest-or-equal at every measured scale — see make_best_ranker);
     backend='pallas' -> the fused kernel per shard for every hyperbolic
     family (interpret mode off-TPU), failing LOUDLY if it cannot build.
-    precision: MXU contraction mode for the fused kernels (see
-    make_best_ranker); the dense and GNN paths ignore it (exact)."""
+    precision: MXU contraction mode for the score matmuls on EVERY path
+    (see make_best_ranker) — "highest" = exact 6-pass f32 (default),
+    "default" = 1-pass bf16."""
     if getattr(model, "is_gnn", False):
         # GNN models: encoder replicated, ENCODED table sharded (no Pallas
         # kernel — the decoder sweep is a plain MXU matmul XLA tiles well)
-        return make_sharded_gnn_ranker(model, mesh, n_entities)
+        return make_sharded_gnn_ranker(model, mesh, n_entities,
+                                       precision=precision)
     if backend == "pallas":
         from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
         from complexhyperbolickge_tpu.models.hyperbolic import (
@@ -641,4 +658,4 @@ def make_best_sharded_ranker(model, mesh, n_entities: int,
             "shard_map ranker",
             type(model).__name__,
         )
-    return make_sharded_ranker(model, mesh, n_entities)
+    return make_sharded_ranker(model, mesh, n_entities, precision=precision)

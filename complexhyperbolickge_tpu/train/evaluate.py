@@ -59,22 +59,31 @@ def filtered_rank_counts(scores, target, fidx, n_entities: int):
     return total - sub + add
 
 
-def make_ranker(model, eval_batch_size: int):
+def make_ranker(model, eval_batch_size: int, precision: str = "highest"):
     """Compiled filtered-ranking over one query batch.
 
     For GNN models the full-graph encoder output is computed ONCE and bound
     as a cache (mirroring the reference's cached forward_base during eval,
     gnnbase.py:240) instead of being re-traced into every batch's program.
+
+    precision: "highest" (default) keeps the all-pairs score matmuls at the
+    exact 6-pass f32 MXU emulation; "default" traces them as 1-pass bf16
+    (ops/math.py::eval_matmul_precision) — the opt-in --eval_precision
+    default now reaches the DENSE rankers too (the GNN decoder sweep is a
+    pure dot product, i.e. MXU-bound, unlike the transcendental-bound
+    geometric rankers).
     """
+    from complexhyperbolickge_tpu.ops.math import eval_matmul_precision
 
     if getattr(model, "is_gnn", False):
         encode = jax.jit(lambda p: model.encode(p))
 
         def _core(params, cache, q, fidx):
-            scores = _mask_pad_cols(
-                model.score_all(params, q[:, :2], cache=cache),
-                model.cfg.n_entities,
-            )
+            with eval_matmul_precision(precision):  # trace-time scope
+                scores = _mask_pad_cols(
+                    model.score_all(params, q[:, :2], cache=cache),
+                    model.cfg.n_entities,
+                )
             target = jnp.take_along_axis(scores, q[:, 2:3], axis=1)
             counts = filtered_rank_counts(
                 scores, target, fidx, model.cfg.n_entities
@@ -105,9 +114,10 @@ def make_ranker(model, eval_batch_size: int):
         return rank_batch
 
     def _rank_one(params, q, fidx):
-        scores = _mask_pad_cols(
-            model.score_all(params, q[:, :2]), model.cfg.n_entities
-        )  # (B, N)
+        with eval_matmul_precision(precision):  # trace-time scope
+            scores = _mask_pad_cols(
+                model.score_all(params, q[:, :2]), model.cfg.n_entities
+            )  # (B, N)
         target = jnp.take_along_axis(scores, q[:, 2:3], axis=1)  # (B, 1)
         counts = filtered_rank_counts(scores, target, fidx, model.cfg.n_entities)
         return 1.0 + counts.astype(jnp.float32)
@@ -142,12 +152,14 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
     A failure to build a forced Pallas path is LOUD: backend='pallas'
     re-raises (a silent fallback would hide kernel rot).
 
-    precision='highest' (default) keeps the kernels' MXU contractions at
-    6-pass f32 emulation — ranks bitwise-comparable with the dense path.
-    'default' uses the single-pass bf16 MXU form: measured ~1.08x on v5e
-    (the kernels are VPU-transcendental-bound, not MXU-bound) with MRR
-    deltas ~5e-8 at WN18RR scale; the dense backends ignore it (always
-    exact).
+    precision='highest' (default) keeps every all-pairs score contraction
+    at the exact 6-pass f32 MXU emulation — ranks bitwise-comparable with
+    the reference protocol.  'default' opts into the single-pass bf16 MXU
+    form, on BOTH backends: the fused kernels measured ~1.08x on v5e
+    (VPU-transcendental-bound) with MRR deltas ~5e-8 at WN18RR scale; the
+    dense rankers trace their score region under
+    ops/math.py::eval_matmul_precision — most relevant for GNN eval, whose
+    distmult decoder sweep is a pure MXU matmul.
     """
     if backend == "pallas":
         from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
@@ -188,7 +200,7 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
             "no fused Pallas ranker exists for %s; using the dense XLA ranker",
             type(model).__name__,
         )
-    return make_ranker(model, eval_batch_size)
+    return make_ranker(model, eval_batch_size, precision=precision)
 
 
 def make_predictor(model, k: int = 10):

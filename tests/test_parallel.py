@@ -607,6 +607,14 @@ def test_sharded_pallas_ranker_precision_default_matches_on_cpu(data, setup):
                           jnp.asarray(pack.filter_idx)))
     np.testing.assert_array_equal(r, dense_ranks)
 
+    # the DENSE sharded path now honors precision too (backend='auto')
+    ranker_d = make_best_sharded_ranker(model, mesh, N_ENT, backend="auto",
+                                        precision="default")
+    rd = np.asarray(ranker_d(shard_params(params, mesh),
+                             jnp.asarray(pack.queries),
+                             jnp.asarray(pack.filter_idx)))
+    np.testing.assert_array_equal(rd, dense_ranks)
+
 
 def test_sharded_pallas_ranker_rank_many_and_unpadded(data, setup):
     """rank_many (whole-split scan form) + canonical unpadded params through

@@ -212,3 +212,75 @@ def test_get_ranking_device_pack_cache_reuses_and_pins():
     pack2 = EvalPack(queries=qs.copy(), filter_idx=fs.copy())
     r3 = get_ranking(model, params, pack2, 8, rank_fn=ranker)
     np.testing.assert_array_equal(r1, r3)
+
+
+# ------------------- eval matmul precision plumbing --------------------------
+
+
+def test_eval_matmul_precision_context():
+    from complexhyperbolickge_tpu.ops.math import (
+        eval_matmul_precision,
+        mm_precision,
+    )
+
+    assert mm_precision() == "highest"
+    with eval_matmul_precision("default"):
+        assert mm_precision() == "default"
+        with eval_matmul_precision("highest"):  # nested no-op keeps default
+            assert mm_precision() == "default"
+        assert mm_precision() == "default"
+    assert mm_precision() == "highest"
+
+
+def test_dense_ranker_precision_default_matches_on_cpu():
+    """precision='default' threads through the dense rankers (CPU DEFAULT ==
+    HIGHEST numerically, so ranks are exactly equal — pins the plumbing; the
+    bf16 deviation story is measured on-chip).  Covers the plain dense path
+    and the GNN cached-encoder path."""
+    from complexhyperbolickge_tpu.data.dataset import synthetic_kg
+    from complexhyperbolickge_tpu.models import ModelConfig, get_model
+    from complexhyperbolickge_tpu.train.evaluate import make_ranker
+
+    data = synthetic_kg(n_entities=60, n_relations=4, n_train=256,
+                        n_valid=32, n_test=32, seed=5)
+    n_ent, n_rel, _ = data.get_shape()
+    pack = data.eval_pack("test", "rhs")
+    q, f = jnp.asarray(pack.queries), jnp.asarray(pack.filter_idx)
+
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=5,
+                      multi_c=True, bias="learn", dtype="float32")
+    model = get_model("FFTRotH")(cfg)
+    rng = np.random.default_rng(2)
+    params = {
+        k: jnp.asarray(rng.uniform(-0.5, 0.5, size=shape), jnp.float32)
+        for k, (shape, _) in model.param_specs().items()
+    }
+    params["c"] = jnp.abs(params["c"]) + 0.5
+    exact_fn = make_ranker(model, 16)
+    fast_fn = make_ranker(model, 16, precision="default")
+    exact = np.asarray(exact_fn(params, q, f))
+    fast = np.asarray(fast_fn(params, q, f))
+    np.testing.assert_array_equal(exact, fast)
+
+    # STRUCTURAL pin (CPU values can't distinguish): the lowered HLO of the
+    # exact ranker carries operand_precision=HIGHEST on its score matmuls;
+    # the 'default' trace must carry none
+    hi = exact_fn.lower(params, q, f).as_text()
+    lo = fast_fn.lower(params, q, f).as_text()
+    assert "HIGHEST" in hi.upper()
+    assert "HIGHEST" not in lo.upper()
+
+    class _A:
+        hidden_dim = 8
+        layers = 1
+        edge_dropout = 0.0
+        dropout = 0.0
+        opn = "mult"
+        interaction = "distmult"
+        basis = 0
+
+    gnn = get_model("CompGCN")(cfg, _A, data)
+    gp = gnn.init(jax.random.PRNGKey(3))
+    exact = np.asarray(make_ranker(gnn, 16)(gp, q, f))
+    fast = np.asarray(make_ranker(gnn, 16, precision="default")(gp, q, f))
+    np.testing.assert_array_equal(exact, fast)
