@@ -8,6 +8,7 @@ queries/s with and without the one-time encode amortized.
 
 Run: python -m benchmarks.gnn_eval_bench (real TPU, one process at a time).
 """
+import os
 import time
 
 import numpy as np
@@ -50,7 +51,12 @@ fs[:, -1] = qs[:, 2]
 fs = dedup_filter_rows(fs, n_ent)  # pack contract: rows dedup'd
 pack = EvalPack(queries=qs, filter_idx=fs)
 
-ranker = make_ranker(model, B)
+# EVAL_PRECISION=default opts the decoder sweep into 1-pass bf16 MXU (the
+# distmult decoder is the framework's most MXU-bound eval; f32 'highest'
+# emulation costs ~6x the bf16 form per matmul pass)
+PRECISION = os.environ.get("EVAL_PRECISION", "highest")
+ranker = make_ranker(model, B, precision=PRECISION)
+print(f"precision={PRECISION}")
 
 # cold: includes the one-time full-graph encode + compile
 t0 = time.perf_counter()
