@@ -41,7 +41,9 @@ def test(model_dir: str, split: str = "test"):
     params = load_checkpoint(model_dir, expect_params=expected,
                              cast_to_expected=True)["params"]
     rank_fn = make_best_ranker(model, args.eval_batch_size,
-                               getattr(args, "eval_backend", "auto"))
+                               getattr(args, "eval_backend", "auto"),
+                               precision=getattr(args, "eval_precision",
+                                                 "highest"))
     metrics = avg_both(
         compute_metrics(model, params, dataset, split, args.eval_batch_size,
                         rank_fn=rank_fn)
