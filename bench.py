@@ -103,6 +103,8 @@ def main():
     import contextlib
     import signal
 
+    _UNARMED = object()  # sentinel: signal.signal can legitimately return None
+
     @contextlib.contextmanager
     def watchdog(seconds: float, message: str):
         """SIGALRM-backed timeout; no-op off the main thread."""
@@ -110,17 +112,19 @@ def main():
         def _on_alarm(signum, frame):
             raise TimeoutError(message)
 
+        old = _UNARMED
         try:
             old = signal.signal(signal.SIGALRM, _on_alarm)
             signal.alarm(int(max(1, seconds)))
-        except ValueError:  # not the main thread
-            old = None
+        except ValueError:  # not the main thread: never armed
+            pass
         try:
             yield
         finally:
-            if old is not None:
+            if old is not _UNARMED:  # armed: ALWAYS cancel + restore
                 signal.alarm(0)
-                signal.signal(signal.SIGALRM, old)
+                signal.signal(signal.SIGALRM,
+                              signal.SIG_DFL if old is None else old)
 
     headline_budget = float(os.environ.get("BENCH_HEADLINE_BUDGET_S", "2700"))
     with watchdog(

@@ -46,13 +46,24 @@ def load_serving_state(model_dir: str):
     return model, params, dataset
 
 
+def max_known_tails(dataset) -> int:
+    """Longest known-true-tail list over BOTH filter directions — the padded
+    width that guarantees known_tail_filters never truncates (static
+    serving shapes, cli/serve.py)."""
+    skip = dataset.get_filters()
+    return max(
+        (len(v) for d in ("rhs", "lhs") for v in skip[d].values()), default=1
+    ) or 1
+
+
 def known_tail_filters(dataset, q, lmax: int | None = None):
     """Padded known-true-tail ids for (head, rel) queries — masks already-
     known facts out of predictions.  rhs filters are keyed by raw relation
     ids; inverse-relation queries (r >= n_rel/2, i.e. head prediction) live
     in the lhs dict, keyed by the offset id directly (preprocess.py:50-64).
-    lmax pins the padded width (static serving shapes); overflowing lists
-    are truncated to the WIDEST lmax entries known."""
+    lmax pins the padded width (static serving shapes); a list longer than
+    lmax raises rather than silently leaking known facts into predictions —
+    size lmax with max_known_tails."""
     skip = dataset.get_filters()
     n_ent = dataset.n_entities
     n_raw = dataset.n_predicates // 2
@@ -60,11 +71,18 @@ def known_tail_filters(dataset, q, lmax: int | None = None):
         skip["rhs" if int(r) < n_raw else "lhs"].get((int(h), int(r)), [])
         for h, r in q
     ]
+    widest = max((len(v) for v in lists), default=0)
     if lmax is None:
-        lmax = max((len(v) for v in lists), default=0) or 1
+        lmax = widest or 1
+    elif widest > lmax:
+        raise ValueError(
+            f"known-fact filter list of length {widest} exceeds the padded "
+            f"width {lmax}; raise max_filter_len (dataset max: "
+            f"{max_known_tails(dataset)})"
+        )
     fidx = np.full((len(q), lmax), n_ent, dtype=np.int32)
     for i, l in enumerate(lists):
-        fidx[i, : len(l)] = l[:lmax]
+        fidx[i, : len(l)] = l
     return jnp.asarray(fidx)
 
 

@@ -36,26 +36,35 @@ class PredictService:
     """Loaded model + one compiled fixed-shape predictor."""
 
     def __init__(self, model_dir: str, k: int = 10, batch: int = 32,
-                 max_filter_len: int = 256):
+                 max_filter_len: int | None = None, warm_filters: bool = False):
         from complexhyperbolickge_tpu.cli.predict import (
             known_tail_filters,
             load_serving_state,
+            max_known_tails,
         )
         from complexhyperbolickge_tpu.train.evaluate import make_predictor
 
         self.model, self.params, self.dataset = load_serving_state(model_dir)
         self.k, self.batch = k, batch
-        self.max_filter_len = max_filter_len
+        # auto-size to the dataset's longest known-tail list so filtering
+        # can never silently leak a known fact; an explicit max_filter_len
+        # below the dataset max would make known_tail_filters raise per
+        # request instead
+        self.max_filter_len = (max_known_tails(self.dataset)
+                               if max_filter_len is None else max_filter_len)
         self._known_tail_filters = known_tail_filters
         self._fn = make_predictor(self.model, k=k)
         self._lock = threading.Lock()
-        # warm both compiled variants (with/without filters) so the first
-        # requests don't pay the compile
+        # warm the unfiltered program so first requests don't pay the
+        # compile; the filtered variant compiles lazily on its first request
+        # (each compile costs 40s-6min through a remote tunnel) unless
+        # warm_filters pre-pays it here
         pad_q = jnp.zeros((batch, 2), jnp.int32)
-        pad_f = jnp.full((batch, max_filter_len), self.dataset.n_entities,
-                         jnp.int32)
         np.asarray(self._fn(self.params, pad_q, None)[0])
-        np.asarray(self._fn(self.params, pad_q, pad_f)[0])
+        if warm_filters:
+            pad_f = jnp.full((batch, self.max_filter_len),
+                             self.dataset.n_entities, jnp.int32)
+            np.asarray(self._fn(self.params, pad_q, pad_f)[0])
 
     def predict(self, queries, k: int | None = None,
                 filter_known: bool = False):
@@ -151,11 +160,17 @@ def main():
                    help="max top-k the compiled predictor supports")
     p.add_argument("--batch", default=32, type=int,
                    help="compiled batch size (requests pad up / chunk down)")
-    p.add_argument("--max_filter_len", default=256, type=int,
-                   help="padded width of the known-fact filter rows")
+    p.add_argument("--max_filter_len", default=None, type=int,
+                   help="padded width of the known-fact filter rows "
+                        "(default: the dataset's longest known-tail list, "
+                        "so filtering never truncates)")
+    p.add_argument("--warm_filters", action="store_true",
+                   help="pre-compile the filtered predictor at startup "
+                        "(otherwise the first filter_known request pays it)")
     a = p.parse_args()
     service = PredictService(a.model_dir, k=a.k, batch=a.batch,
-                             max_filter_len=a.max_filter_len)
+                             max_filter_len=a.max_filter_len,
+                             warm_filters=a.warm_filters)
     server = make_server(service, a.host, a.port)
     logging.info("serving %s on http://%s:%d (k<=%d, batch %d)",
                  a.model_dir, a.host, a.port, a.k, a.batch)

@@ -26,10 +26,21 @@ from complexhyperbolickge_tpu.train.evaluate import (
 )
 
 
-def test(model_dir: str, split: str = "test"):
+def test(model_dir: str, split: str = "test",
+         eval_precision: str | None = None):
     setup_logging(model_dir, to_file=False)
     cfg = load_config(model_dir)["args"]
     args = argparse.Namespace(**cfg)
+    if eval_precision is not None:  # CLI override beats the saved config
+        args.eval_precision = eval_precision
+    if getattr(args, "eval_precision", "highest") != "highest":
+        # a training-time throughput opt-in must never silently shape
+        # REPORTED metrics: say so, and show how to force exactness
+        logging.warning(
+            "evaluating with eval_precision=%s (inherited from the run "
+            "config; pass --eval_precision highest for exact reference "
+            "ranks)", args.eval_precision,
+        )
     apply_dtype_policy(args)  # f64 on CPU; coerced to f32 on TPU
     dataset = load_dataset(args)
     model = build_model(args, dataset)
@@ -56,6 +67,10 @@ def main():
     p = argparse.ArgumentParser(description="Evaluate a trained KG embedding model")
     p.add_argument("--model_dir", required=True)
     p.add_argument("--split", default="test", choices=["valid", "test"])
+    p.add_argument("--eval_precision", default=None,
+                   choices=["highest", "default"],
+                   help="override the run config's eval precision "
+                        "('highest' = exact reference ranks)")
     test(**vars(p.parse_args()))
 
 

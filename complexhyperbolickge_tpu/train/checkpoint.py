@@ -58,6 +58,17 @@ def _schema(params):
     }
 
 
+def _n_processes() -> int:
+    """Process count WITHOUT initializing a device backend: outside a
+    jax.distributed run this must be 1, and jax.process_count() would dial
+    the platform backend just to say so — on the axon image that is a
+    remote-TPU tunnel connection, which e.g. a host-only kge-import must
+    never open (and which hangs outright when the tunnel is down)."""
+    from jax._src import distributed
+
+    return 1 if distributed.global_state.client is None else jax.process_count()
+
+
 def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
                     best_mrr: float | None = None, config: dict | None = None,
                     filename: str = "state.pkl", extra: dict | None = None):
@@ -88,7 +99,7 @@ def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
             k: (dataclasses.asdict(v) if dataclasses.is_dataclass(v) else v)
             for k, v in config.items()
         }
-    if jax.process_count() == 1 or jax.process_index() == 0:
+    if _n_processes() == 1 or jax.process_index() == 0:
         tmp = os.path.join(path, filename + ".tmp")
         with open(tmp, "wb") as f:
             pickle.dump(state, f)
@@ -100,7 +111,7 @@ def save_checkpoint(path: str, params, opt_state=None, epoch: int = 0,
             }
             with open(os.path.join(path, "config.json"), "w") as f:
                 json.dump(cfg, f, indent=2)
-    if jax.process_count() > 1:
+    if _n_processes() > 1:
         # barrier so no process reads the file (final reload / --resume)
         # before process 0's rename lands; save_dir must be a SHARED
         # filesystem under multi-host

@@ -164,7 +164,7 @@ def test_imported_checkpoint_serves_over_http(tmp_path):
 
     from complexhyperbolickge_tpu.cli.serve import PredictService, make_server
 
-    service = PredictService(out, k=3, batch=4, max_filter_len=8)
+    service = PredictService(out, k=3, batch=4)
     srv = make_server(service, "127.0.0.1", 0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

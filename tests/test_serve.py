@@ -28,7 +28,7 @@ def model_dir(tmp_path_factory):
 def server(model_dir):
     from complexhyperbolickge_tpu.cli.serve import PredictService, make_server
 
-    service = PredictService(model_dir, k=5, batch=8, max_filter_len=16)
+    service = PredictService(model_dir, k=5, batch=8)  # auto filter width
     srv = make_server(service, "127.0.0.1", 0)  # ephemeral port
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
