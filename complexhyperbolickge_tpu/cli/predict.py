@@ -91,11 +91,14 @@ def predict(model_dir: str, queries, k: int = 10, filter_known: bool = False):
     model, params, dataset = load_serving_state(model_dir)
 
     q = np.asarray(queries, dtype=np.int32)
-    assert q.ndim == 2 and q.shape[1] == 2, "queries must be (B, 2) (head, rel)"
+    # user-input validation: must survive python -O
+    if q.ndim != 2 or q.shape[1] != 2:
+        raise ValueError("queries must be (B, 2) (head, rel)")
     n_ent = dataset.n_entities
-    assert ((q[:, 0] >= 0) & (q[:, 0] < n_ent)).all(), "head id out of range"
-    assert ((q[:, 1] >= 0) & (q[:, 1] < dataset.n_predicates)).all(), \
-        "relation id out of range"
+    if not ((q[:, 0] >= 0) & (q[:, 0] < n_ent)).all():
+        raise ValueError("head id out of range")
+    if not ((q[:, 1] >= 0) & (q[:, 1] < dataset.n_predicates)).all():
+        raise ValueError("relation id out of range")
 
     fidx = known_tail_filters(dataset, q) if filter_known else None
     fn = make_predictor(model, k=k)

@@ -186,11 +186,12 @@ class NeighborSampler:
             nn.ctypes.data_as(_I64P), ne.ctypes.data_as(_I64P),
             ov.ctypes.data_as(_I64P),
         )
-        assert rc == 0, (
-            f"kgs_sample failed: rc={rc}"
-            + (" (seed endpoints exceed max_nodes; raise max_nodes or lower "
-               "batch_size)" if rc == -2 else "")
-        )
+        if rc != 0:  # runtime error from the C++ sampler: must survive python -O
+            raise RuntimeError(
+                f"kgs_sample failed: rc={rc}"
+                + (" (seed endpoints exceed max_nodes; raise max_nodes or lower "
+                   "batch_size)" if rc == -2 else "")
+            )
         return self._pack(nodes, edges.reshape(-1, 3), tmask,
                           queries.reshape(-1, 3), int(nn[0]), int(ne[0]),
                           int(ov[0]))

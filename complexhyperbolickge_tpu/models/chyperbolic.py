@@ -160,7 +160,8 @@ class FFTIsoH(FFTUnitBall):
 
     def __init__(self, cfg):
         super().__init__(cfg)
-        assert cfg.rank % 2 == 0, f"FFTIsoH requires even rank, got {cfg.rank}"
+        if cfg.rank % 2 != 0:  # user-config validation: must survive python -O
+            raise ValueError(f"FFTIsoH requires even rank, got {cfg.rank}")
 
     @property
     def rel_dim(self):

@@ -24,7 +24,10 @@ class BaseC(KGModel):
 
     def __init__(self, cfg):
         super().__init__(cfg)
-        assert cfg.rank % 2 == 0, "Complex models require even embedding dimension"
+        if cfg.rank % 2 != 0:  # user-config validation: must survive python -O
+            raise ValueError(
+                f"Complex models require even embedding dimension, got {cfg.rank}"
+            )
         self.half = cfg.rank // 2
 
     def sim(self, lhs_pack, rhs_e, all_pairs: bool):

@@ -227,9 +227,10 @@ class IFFTH(BaseH):
     def __init__(self, cfg):
         super().__init__(cfg)
         self.n = (cfg.rank // 2) + 1  # complex dim after rfft
-        assert self.n % 2 == 0, (
-            f"IFFTH requires n = rank//2 + 1 even; got n={self.n} (rank={cfg.rank})"
-        )
+        if self.n % 2 != 0:  # user-config validation: must survive python -O
+            raise ValueError(
+                f"IFFTH requires n = rank//2 + 1 even; got n={self.n} (rank={cfg.rank})"
+            )
 
     # reference: softplus only when multi_c (hyperbolic.py:257)
     _softplus_single_c = False

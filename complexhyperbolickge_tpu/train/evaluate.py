@@ -295,7 +295,8 @@ def get_ranking(model, params, pack, batch_size: int = 500, rank_fn=None):
             # dispatch instead of syncing to host every iteration
             ranks.append(rank_fn(params, qb[i], fb[i]))
         out = np.concatenate([np.asarray(r) for r in ranks])[:n]
-    assert np.isfinite(out).all()
+    if not np.isfinite(out).all():  # NaN discipline: must survive python -O
+        raise FloatingPointError("non-finite ranks in evaluation")
     return out
 
 

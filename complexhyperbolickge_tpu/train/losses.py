@@ -163,7 +163,8 @@ def neg_sampling_loss_pooled(model, params, batch, weights, key,
     uniform-over-non-gold marginal).  Requires k <= pool_size.
     Enable with --neg_mode pool; pool size via --neg_pool_size.
     """
-    assert k <= pool_size, f"neg_sample_size {k} > neg_pool_size {pool_size}"
+    if k > pool_size:  # user-config validation: must survive python -O
+        raise ValueError(f"neg_sample_size {k} > neg_pool_size {pool_size}")
     queries, tails = batch[:, :2], batch[:, 2:3]
     factors = model.get_factors(params, queries, tails)
 

@@ -72,11 +72,14 @@ class SubgraphTrainer:
 
     def __init__(self, model, cfg: TrainConfig, dataset, fanouts=(20, 20),
                  max_nodes: int = 4096, max_edges: int = 32768):
-        assert getattr(model, "is_gnn", False), "subgraph mode is GNN-only"
-        assert cfg.neg_sample_size <= 0, (
-            "subgraph mode uses CE/BCE over subgraph nodes "
-            "(reference kg_optimizer.py:373-396)"
-        )
+        # user-config validation: must survive python -O
+        if not getattr(model, "is_gnn", False):
+            raise ValueError("subgraph mode is GNN-only")
+        if cfg.neg_sample_size > 0:
+            raise ValueError(
+                "subgraph mode uses CE/BCE over subgraph nodes "
+                "(reference kg_optimizer.py:373-396); set neg_sample_size 0"
+            )
         self.model = model
         self.cfg = cfg
         self.sampler = NeighborSampler(dataset, fanouts=fanouts,

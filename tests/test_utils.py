@@ -284,3 +284,39 @@ def test_dense_ranker_precision_default_matches_on_cpu():
     exact = np.asarray(make_ranker(gnn, 16)(gp, q, f))
     fast = np.asarray(make_ranker(gnn, 16, precision="default")(gp, q, f))
     np.testing.assert_array_equal(exact, fast)
+
+
+def test_user_config_validation_raises_valueerror():
+    """User-facing config/input validation must be real exceptions (they'd be
+    stripped under python -O if left as asserts — round-2 advisor pattern)."""
+    import pytest
+
+    from complexhyperbolickge_tpu.models import ModelConfig, get_model
+
+    odd = ModelConfig(n_entities=20, n_relations=4, rank=33, bias="learn",
+                      dtype="float32")
+    with pytest.raises(ValueError, match="even rank"):
+        get_model("FFTIsoH")(odd)
+    with pytest.raises(ValueError, match="even embedding dimension"):
+        get_model("ComplEx")(odd)
+    with pytest.raises(ValueError, match="rank//2"):
+        get_model("IFFTH")(ModelConfig(n_entities=20, n_relations=4, rank=4,
+                                       bias="learn", dtype="float32"))
+
+    from complexhyperbolickge_tpu.train.losses import neg_sampling_loss_pooled
+    from complexhyperbolickge_tpu.train.trainer import TrainConfig
+    from complexhyperbolickge_tpu.train.subgraph import SubgraphTrainer
+
+    cfg = ModelConfig(n_entities=20, n_relations=4, rank=4, bias="learn",
+                      dtype="float32")
+    model = get_model("TransE")(cfg)
+    with pytest.raises(ValueError, match="GNN-only"):
+        SubgraphTrainer(model, TrainConfig(neg_sample_size=0), dataset=None)
+
+    params = model.init(jax.random.PRNGKey(0))
+    batch = jnp.zeros((4, 3), jnp.int32)
+    w = jnp.ones((4,), jnp.float32)
+    with pytest.raises(ValueError, match="neg_pool_size"):
+        neg_sampling_loss_pooled(model, params, batch, w,
+                                 jax.random.PRNGKey(0), n_entities=20, k=64,
+                                 double_neg=False, n_rel=4, pool_size=32)
