@@ -320,3 +320,29 @@ def test_user_config_validation_raises_valueerror():
         neg_sampling_loss_pooled(model, params, batch, w,
                                  jax.random.PRNGKey(0), n_entities=20, k=64,
                                  double_neg=False, n_rel=4, pool_size=32)
+
+
+def test_validation_survives_python_dash_O():
+    """The point of raising instead of asserting: run the validation under
+    python -O (asserts stripped) in a subprocess and confirm it still fires."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from complexhyperbolickge_tpu.models import ModelConfig, get_model\n"
+        "cfg = ModelConfig(n_entities=20, n_relations=4, rank=33,\n"
+        "                  bias='learn', dtype='float32')\n"
+        "try:\n"
+        "    get_model('FFTIsoH')(cfg)\n"
+        "except ValueError:\n"
+        "    print('RAISED')\n"
+        "else:\n"
+        "    print('SILENT')\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # never dial the TPU tunnel
+    out = subprocess.run([sys.executable, "-O", "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "RAISED", out.stdout + out.stderr
