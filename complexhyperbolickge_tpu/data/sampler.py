@@ -289,6 +289,13 @@ class NeighborSampler:
         reference's loader yields the ragged tail batch; dropping it (as this
         method once did) silently skipped up to batch_size-1 train edges per
         epoch.
+
+        `seed_base` is an epoch counter; per-batch sampling seeds are
+        `seed_base * n_train_edges + batch_offset`, which is injective over
+        (epoch, offset) since offsets are < n_train_edges.  (An additive
+        `(epoch << K) + offset` scheme collided across epochs on graphs
+        with more than 2^K edges and power-of-two batch sizes, repeating
+        the neighbor-subsampling RNG stream epoch-to-epoch.)
         """
         order = rng.permutation(self.n_train_edges)
         for i in range(0, self.n_train_edges, batch_size):
@@ -298,7 +305,7 @@ class NeighborSampler:
                 seeds = np.concatenate(
                     [seeds, np.broadcast_to(seeds[:1], (batch_size - n_real,))]
                 )
-            sub = self.sample(seeds, seed=seed_base + i)
+            sub = self.sample(seeds, seed=seed_base * self.n_train_edges + i)
             qw = np.ones(batch_size, np.float32)
             qw[n_real:] = 0.0
             sub.query_weight = qw

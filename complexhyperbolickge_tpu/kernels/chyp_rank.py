@@ -330,7 +330,13 @@ class PallasChypRanker:
                 tile_n=self.tile_n, interpret=self.interpret,
                 precision=self.precision,
             )
-        return 1.0 + counts
+        # NaN discipline: counts are sums of comparisons (finite by
+        # construction), so NaN params would silently rank everything 1.
+        # t2 * 0 is 0 when the gold-target score is finite and NaN
+        # otherwise, making get_ranking's host isfinite check fire loudly
+        # (whole-params divergence is caught earlier by get_ranking's
+        # host-side params finiteness check, train/evaluate.py).
+        return 1.0 + counts + (t2[:, 0] * 0.0).astype(jnp.float32)
 
     def _rank_scan(self, params, qb, fb, rhs_pad, bt_row):
         """Whole-split ranking as one compiled program (lax.map over batches

@@ -167,9 +167,9 @@ def chyp_train_distance(lhs, rhs):
     return d
 
 
-def _swap(v):
-    r = v.shape[-1] // 2
-    return jnp.concatenate([v[..., r:], -v[..., :r]], axis=-1)
+# the packed-layout [Re|Im] -> [Im|-Re] helper is shared with the rankers;
+# a private copy here could drift from a future layout change
+from complexhyperbolickge_tpu.ops.chyperbolic import swap_neg as _swap  # noqa: E402
 
 
 def _fwd_pieces(lhs, rhs, interpret):

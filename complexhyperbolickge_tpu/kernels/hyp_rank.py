@@ -286,7 +286,8 @@ class PallasAttRHRanker:
                 bt_row, mask, tile_n=self.tile_n, interpret=self.interpret,
                 precision=self.precision,
             )
-            return 1.0 + counts
+            # t2*0: NaN-params discipline (see chyp_rank.py::_rank_one)
+            return 1.0 + counts + (t2[:, 0] * 0.0).astype(jnp.float32)
 
         return jax.lax.map(one, (qb, fb))
 
@@ -309,7 +310,8 @@ class PallasAttRHRanker:
             mask, tile_n=self.tile_n, interpret=self.interpret,
             precision=self.precision,
         )
-        return 1.0 + counts
+        # t2*0: NaN-params discipline (see chyp_rank.py::_rank_one)
+        return 1.0 + counts + (t2[:, 0] * 0.0).astype(jnp.float32)
 
 
 def make_pallas_attrh_ranker(model, batch_size: int, interpret: bool = False,
@@ -420,7 +422,8 @@ class PallasHypRanker:
                 tile_n=self.tile_n, interpret=self.interpret,
                 family=self.family, precision=self.precision,
             )
-            return 1.0 + counts
+            # t2*0: NaN-params discipline (see chyp_rank.py::_rank_one)
+            return 1.0 + counts + (t2[:, 0] * 0.0).astype(jnp.float32)
 
         return jax.lax.map(one, (qb, fb))
 
@@ -440,7 +443,8 @@ class PallasHypRanker:
                                  tile_n=self.tile_n, interpret=self.interpret,
                                  family=self.family,
                                  precision=self.precision)
-        return 1.0 + counts
+        # t2*0: NaN-params discipline (see chyp_rank.py::_rank_one)
+        return 1.0 + counts + (t2[:, 0] * 0.0).astype(jnp.float32)
 
 
 def make_pallas_hyp_ranker(model, batch_size: int, interpret: bool = False,

@@ -38,10 +38,23 @@ class BaseC(KGModel):
         return v[..., : self.half], v[..., self.half :]
 
     def get_factors(self, params, queries, tails=None):
-        """Complex magnitudes as regularization factors (complex.py:52-58)."""
+        """Complex magnitudes as regularization factors (complex.py:52-58).
+
+        Quirk replicated: the reference's BaseC override IGNORES its `tails`
+        argument — `get_complex_embeddings(queries)` is called without it
+        (complex.py:54), so `rhs_e` falls back to the FULL entity table
+        (complex.py:44-46) even in negative-sampling training, where every
+        other family regularizes only the gold-tail rows
+        (models/base.py:190-198).  The N3/F2 penalty for ComplEx / RotatE /
+        Fourier therefore sums entity magnitudes over all N rows per step
+        (still divided by the batch size, regularizers.py:30/58); matching
+        it exactly is required for trajectory parity
+        (tests/test_train_parity.py::test_complex_fulltable_factor_parity).
+        """
         head_e = params["entity"][queries[..., 0]]
         rel_e = params["rel"][queries[..., 1]]
-        rhs_e = params["entity"] if tails is None else params["entity"][tails]
+        del tails  # ignored by the reference's BaseC (complex.py:54)
+        rhs_e = params["entity"]
         out = []
         for f, half in ((head_e, self.half), (rel_e, self._rel_half()), (rhs_e, self.half)):
             re, im = f[..., :half], f[..., half:]

@@ -29,12 +29,9 @@ from complexhyperbolickge_tpu.models.gnn import message as M
 from complexhyperbolickge_tpu.models.gnn.convs import CompGCNConv, LorentzConv, PoincareConv
 from complexhyperbolickge_tpu.ops import hyperbolic as H
 from complexhyperbolickge_tpu.ops.euclidean import givens_rotations
+from complexhyperbolickge_tpu.ops.math import tanh as _tanh  # ref ±15 clamp
 
 GNN_MODELS = ["CompGCN", "PoincareGCN", "LorentzGCN"]
-
-
-def _tanh(x):
-    return jnp.tanh(jnp.clip(x, -15, 15))
 
 
 class GNNModel(KGModel):

@@ -30,6 +30,7 @@ from complexhyperbolickge_tpu.ops.euclidean import (
     givens_rotations,
     givens_unitary,
 )
+from complexhyperbolickge_tpu.ops.math import mm_precision
 
 HYP_MODELS = ["RotH", "RefH", "AttH", "AttRH", "IFFTH", "IsoH", "RotLH", "HyboNet"]
 
@@ -338,7 +339,9 @@ class HyboNet(BaseLorentz):
 
     def _lorentz_linear(self, x, weight, scale, bias, c):
         """reference hyperbolic.py:386-395; `time` uses the pre-bias matmul."""
-        x = jnp.einsum("...i,...ji->...j", x, weight)
+        # pinned: an unpinned contraction defaults to 1-pass bf16 on TPU,
+        # silently degrading the model's core transform
+        x = jnp.einsum("...i,...ji->...j", x, weight, precision=mm_precision())
         epsilon = (1.0 / c**0.5) + 0.1
         time = jax.nn.sigmoid(x[..., 0:1]) * scale + epsilon
         x = x + bias

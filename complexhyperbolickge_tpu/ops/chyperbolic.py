@@ -189,9 +189,12 @@ def _chyp_core_bwd(res, g):
         + cb_w[..., None] * lhs_sw[:, None, :]
         + cw[..., None] * rhs
     )
-    # d si / d lhs = -swap(rhs); swap is linear so sum first, swap once
-    m_a = jnp.einsum("bk,bkd->bd", ca_z, rhs)
-    m_b = jnp.einsum("bk,bkd->bd", cb_z, rhs)
+    # d si / d lhs = -swap(rhs); swap is linear so sum first, swap once.
+    # Precision pinned like the forward: unpinned contractions default to
+    # 1-pass bf16 on TPU, silently degrading only these custom-VJP gradients
+    # while every autodiff path inherits "highest" through transposition.
+    m_a = jnp.einsum("bk,bkd->bd", ca_z, rhs, precision=mm_precision())
+    m_b = jnp.einsum("bk,bkd->bd", cb_z, rhs, precision=mm_precision())
     d_lhs = m_a - swap_neg(m_b) + jnp.sum(cz, axis=1, keepdims=True) * lhs
     return d_lhs, d_rhs
 
@@ -287,14 +290,16 @@ def _chyp_all_bwd(res, g):
     cw = g * (-4.0) * a2 / p_w
 
     lhs_sw = swap_neg(lhs)
+    # precision pinned to match the forward (see _chyp_core_bwd)
+    mp = mm_precision()
     d_lhs = (
-        jnp.matmul(ca_z, rhs)
-        - swap_neg(jnp.matmul(cb_z, rhs))
+        jnp.matmul(ca_z, rhs, precision=mp)
+        - swap_neg(jnp.matmul(cb_z, rhs, precision=mp))
         + jnp.sum(cz, axis=1, keepdims=True) * lhs
     )
     d_rhs = (
-        jnp.matmul(ca_w.T, lhs)
-        + jnp.matmul(cb_w.T, lhs_sw)
+        jnp.matmul(ca_w.T, lhs, precision=mp)
+        + jnp.matmul(cb_w.T, lhs_sw, precision=mp)
         + jnp.sum(cw, axis=0)[:, None] * rhs
     )
     return d_lhs, d_rhs

@@ -38,7 +38,12 @@ def givens_rotations(r, x, scale=None, inverse=False):
     are additionally scaled per block (IsoH / RotLH path, euclidean.py:43-51).
     """
     g = _pairs(r)
-    g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-30)
+    # safe_norm, not linalg.norm: norm's VJP is NaN at an exactly-zero
+    # (cos, sin) pair even under the value clamp (the 0-cotangent times
+    # x/||x|| = 0/0 still poisons the step); torch's norm subgradient at 0
+    # is 0, so the reference trains through it.  Values are identical for
+    # any pair with norm > MIN_NORM; below that the reference NaNs anyway.
+    g = g / safe_norm(g)
     xp = _pairs(x)
     cos, sin = g[..., 0], g[..., 1]
     x0, x1 = xp[..., 0], xp[..., 1]
@@ -71,7 +76,7 @@ def givens_reflection(r, x):
     produced the published numbers); see tests/test_ops_euclidean.py.
     """
     g = _pairs(r)
-    g = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-30)
+    g = g / safe_norm(g)  # see givens_rotations: NaN-free VJP at zero pairs
     xp = _pairs(x)
     cos, sin = g[..., 0], g[..., 1]
     x0, x1 = xp[..., 0], xp[..., 1]

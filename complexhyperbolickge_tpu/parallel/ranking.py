@@ -118,7 +118,11 @@ def make_sharded_ranker(model, mesh, n_entities: int,
         )
 
         count = _filtered_count_local(s, target, fidx, lo, shard_n, n_entities)
-        return 1.0 + jax.lax.psum(count, axis_name="model")
+        # target*0: NaN discipline (see train/evaluate.py::_rank_one — a
+        # value-independent poison keeps score-tie exactness, unlike a
+        # full-matrix isfinite reduce which duplicates the score fusion)
+        return (1.0 + jax.lax.psum(count, axis_name="model")
+                + (target * 0.0).astype(jnp.float32))
 
     in_specs = (
         {
@@ -242,7 +246,9 @@ def make_sharded_gnn_ranker(model, mesh, n_entities: int,
         )
 
         count = _filtered_count_local(s, target, fidx, lo, shard_n, n_entities)
-        return 1.0 + jax.lax.psum(count, axis_name="model")
+        # target*0: NaN discipline (see train/evaluate.py::_rank_one)
+        return (1.0 + jax.lax.psum(count, axis_name="model")
+                + (target * 0.0).astype(jnp.float32))
 
     fn = jax.shard_map(
         local_rank, mesh=mesh,
@@ -367,7 +373,9 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
             tile_n=tile_n, interpret=interpret,
             precision=precision,
         )
-        return 1.0 + jax.lax.psum(counts, axis_name="model")
+        # t2*0: NaN discipline (see kernels/chyp_rank.py::_rank_one)
+        return (1.0 + jax.lax.psum(counts, axis_name="model")
+                + (t2[:, 0] * 0.0).astype(jnp.float32))
 
     return _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other)
 
@@ -494,7 +502,9 @@ def make_sharded_hyp_ranker(model, mesh, n_entities: int, tile_n: int = 512,
             tile_n=tile_n, interpret=interpret, family=family,
             precision=precision,
         )
-        return 1.0 + jax.lax.psum(counts, axis_name="model")
+        # t2*0: NaN discipline (see kernels/chyp_rank.py::_rank_one)
+        return (1.0 + jax.lax.psum(counts, axis_name="model")
+                + (t2[:, 0] * 0.0).astype(jnp.float32))
 
     return _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other)
 
@@ -569,7 +579,9 @@ def make_sharded_attrh_ranker(model, mesh, n_entities: int, tile_n: int = 512,
             tile_n=tile_n, interpret=interpret,
             precision=precision,
         )
-        return 1.0 + jax.lax.psum(counts, axis_name="model")
+        # t2*0: NaN discipline (see kernels/chyp_rank.py::_rank_one)
+        return (1.0 + jax.lax.psum(counts, axis_name="model")
+                + (t2[:, 0] * 0.0).astype(jnp.float32))
 
     n_tables = 3  # rot, ref, bt_row
     return _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other,

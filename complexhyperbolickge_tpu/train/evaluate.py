@@ -88,7 +88,8 @@ def make_ranker(model, eval_batch_size: int, precision: str = "highest"):
             counts = filtered_rank_counts(
                 scores, target, fidx, model.cfg.n_entities
             )
-            return 1.0 + counts.astype(jnp.float32)
+            # target*0: NaN discipline (see _rank_one below)
+            return 1.0 + counts.astype(jnp.float32) + (target[:, 0] * 0.0).astype(jnp.float32)
 
         rank_core = jax.jit(_core)
 
@@ -120,7 +121,19 @@ def make_ranker(model, eval_batch_size: int, precision: str = "highest"):
             )  # (B, N)
         target = jnp.take_along_axis(scores, q[:, 2:3], axis=1)  # (B, 1)
         counts = filtered_rank_counts(scores, target, fidx, model.cfg.n_entities)
-        return 1.0 + counts.astype(jnp.float32)
+        # NaN discipline: counts are sums of comparisons — finite by
+        # construction — so NaN scores would silently rank everything 1.
+        # target*0 is 0 when the gold score is finite and NaN otherwise,
+        # making get_ranking's host isfinite check fire loudly.  It is
+        # deliberately NOT a full-matrix isfinite reduce: a second consumer
+        # of `scores` makes XLA duplicate the score fusion with different
+        # reassociation, flipping exact score ties (measured: sharded-vs-
+        # dense rank mismatches on ~15% of a synthetic split) — whereas a
+        # *0.0 term is value-independent, so ranks are bitwise-unchanged
+        # for any finite gold score.  Whole-params divergence (the
+        # realistic mode) is caught backend-uniformly by get_ranking's
+        # host-side params finiteness check below.
+        return 1.0 + counts.astype(jnp.float32) + (target[:, 0] * 0.0).astype(jnp.float32)
 
     rank_batch = jax.jit(_rank_one)
 
@@ -208,7 +221,13 @@ def make_predictor(model, k: int = 10):
     path (beyond the reference, which only ranks gold answers).  Returns
     fn(params, queries (B, 2), filter_idx=None) -> (ids (B, k), scores
     (B, k)); filter_idx (padded known-true-tail ids, data/dataset.py
-    layout) masks known facts so predictions are NEW candidates."""
+    layout) masks known facts so predictions are NEW candidates.
+
+    NaN discipline: NaN params would make top_k return arbitrary ids with
+    NaN scores — garbage served silently; the same host-side params
+    finiteness check as get_ranking raises FloatingPointError instead
+    (verdict cached per params object, so the serving hot path pays it
+    once per checkpoint, not per request)."""
 
     if getattr(model, "is_gnn", False):
         encode = jax.jit(lambda p: model.encode(p))
@@ -227,6 +246,7 @@ def make_predictor(model, k: int = 10):
             return ids, vals
 
         def predict(params, queries, fidx=None):
+            _check_params_finite(params)
             if state["params"] is not params:
                 state["params"], state["cache"] = params, encode(params)
             return _predict(params, state["cache"], queries, fidx)
@@ -234,7 +254,7 @@ def make_predictor(model, k: int = 10):
         return predict
 
     @jax.jit
-    def predict(params, queries, fidx=None):
+    def _predict(params, queries, fidx=None):
         scores = _mask_pad_cols(model.score_all(params, queries),
                                 model.cfg.n_entities)
         if fidx is not None:
@@ -242,6 +262,10 @@ def make_predictor(model, k: int = 10):
             scores = scores.at[rows, fidx].set(-jnp.inf, mode="drop")
         vals, ids = jax.lax.top_k(scores, k)
         return ids, vals
+
+    def predict(params, queries, fidx=None):
+        _check_params_finite(params)
+        return _predict(params, queries, fidx)
 
     return predict
 
@@ -280,8 +304,55 @@ def _device_pack(pack, batch_size: int):
     return qb, fb
 
 
+@jax.jit
+def _all_finite(params):
+    """Single-dispatch finiteness check over every float leaf — the
+    reference's NaN assert on the score matrix (models/base.py:259-260)
+    moved to its root cause: non-finite scores in practice mean diverged
+    params.  One fused program (not one dispatch per leaf — per-dispatch
+    round trips dominate on a remote-tunnel link), applied identically to
+    every ranking backend without touching the compiled rank programs
+    (an in-program full-matrix isfinite reduce flips exact score ties —
+    see _rank_one)."""
+    flags = [
+        jnp.all(jnp.isfinite(leaf))
+        for leaf in jax.tree.leaves(params)
+        if jnp.issubdtype(leaf.dtype, jnp.inexact)
+    ]
+    return jnp.all(jnp.stack(flags)) if flags else jnp.asarray(True)
+
+
+# params finiteness verdict cached per params object — eval calls
+# get_ranking 2x per split (lhs/rhs) with the same pytree.  The cache must
+# hold a strong ref to the pytree (id() alone would go stale when ids are
+# recycled after GC), which pins the params' DEVICE buffers — so it is kept
+# tiny: one eval pass reuses a single params object, and a training loop
+# makes a fresh one per epoch; 2 slots cover valid+test on the same params
+# without retaining old epochs' entity tables in HBM.
+_FINITE_CACHE: dict = {}
+_FINITE_CACHE_MAX = 2
+
+
+def _check_params_finite(params):
+    key = id(params)
+    hit = _FINITE_CACHE.get(key)
+    if hit is not None and hit[0] is params:
+        ok = hit[1]
+    else:
+        ok = bool(_all_finite(params))
+        if len(_FINITE_CACHE) >= _FINITE_CACHE_MAX:
+            _FINITE_CACHE.pop(next(iter(_FINITE_CACHE)))
+        _FINITE_CACHE[key] = (params, ok)
+    if not ok:
+        raise FloatingPointError(
+            "non-finite model parameters entering evaluation (diverged "
+            "training run?) — ranks would silently read as 1"
+        )
+
+
 def get_ranking(model, params, pack, batch_size: int = 500, rank_fn=None):
     """Ranks of the gold entity for every query in an EvalPack."""
+    _check_params_finite(params)
     rank_fn = rank_fn or make_ranker(model, batch_size)
     n = pack.queries.shape[0]
     qb, fb = _device_pack(pack, batch_size)

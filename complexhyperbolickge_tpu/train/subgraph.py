@@ -221,7 +221,7 @@ class SubgraphTrainer:
         def produce():
             try:
                 for sub in self.sampler.epoch(batch_size, rng,
-                                              seed_base=epoch_id << 20):
+                                              seed_base=epoch_id):
                     if not _put(self._prep_host(sub)):
                         return
                 _put(None)

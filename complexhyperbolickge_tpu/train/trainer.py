@@ -132,14 +132,14 @@ class Trainer:
             raise ValueError(
                 f"neg_mode={cfg.neg_mode!r} is not supported for GNN models"
             )
+        from complexhyperbolickge_tpu.ops.chyperbolic import (
+            set_fused_train_scorer,
+        )
         from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
 
-        if cfg.fused_scorer and is_tpu_backend():
-            from complexhyperbolickge_tpu.ops.chyperbolic import (
-                set_fused_train_scorer,
-            )
-
-            set_fused_train_scorer(True)
+        # set unconditionally: the flag is process-global, so a True from an
+        # earlier Trainer must not leak into this one's traces
+        set_fused_train_scorer(bool(cfg.fused_scorer) and is_tpu_backend())
         self._epoch_fn = self._build_epoch_fn()
         self._valid_fn = self._build_valid_fn()
 

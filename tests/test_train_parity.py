@@ -172,6 +172,31 @@ def test_regularizer_parity(pair, reg_name):
     np.testing.assert_allclose(float(our_val), float(ref_val), rtol=1e-10)
 
 
+@pytest.mark.parametrize("reg_name", ["N3", "F2"])
+def test_complex_fulltable_factor_parity(reg_name):
+    """The reference's BaseC.get_factors IGNORES its tails argument
+    (complex.py:54 calls get_complex_embeddings(queries) without it), so
+    ComplEx/RotatE/Fourier regularize the FULL entity table even in
+    negative-sampling training — unlike every other family.  Pin that our
+    override replicates the quirk against the executed reference."""
+    ours, params, ref_model = build_pair("ComplEx", rank=8)
+    rng = np.random.default_rng(11)
+    batch = rng.integers(0, N_ENT, size=(B, 3))
+    batch[:, 1] = rng.integers(0, N_REL, size=B)
+    weight = 0.05
+    with torch.no_grad():
+        _, factors = ref_model(
+            torch.from_numpy(batch)[:, :2].unsqueeze(1),
+            torch.from_numpy(batch)[:, 2].unsqueeze(1),
+        )
+        ref_val = getattr(ref_reg, reg_name)(weight).forward(factors)
+    jb = jnp.asarray(batch.astype(np.int32))
+    our_factors = ours.get_factors(params, jb[:, :2], jb[:, 2:3])
+    assert our_factors[2].shape[0] == N_ENT  # full table, not gold rows
+    our_val = get_regularizer(reg_name)(our_factors, weight, B, w1(B))
+    np.testing.assert_allclose(float(our_val), float(ref_val), rtol=1e-10)
+
+
 def test_masked_losses_match_unpadded(pair):
     """Padding rows with weight 0 must not change any loss value."""
     ours, params, _, batch = pair
