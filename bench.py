@@ -22,7 +22,10 @@ record, float64) measured in this container at 1838 triples/s
 (f32: 4100 triples/s).  vs_baseline is the speedup over the f64 figure.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"secondary"}.  Set BENCH_SECONDARY=0 to skip the secondary measurements
+"secondary"}.  If the TPU tunnel is unreachable, waits up to
+BENCH_TUNNEL_WAIT_S (default 3600) for a subprocess probe to round-trip
+before measuring, so a transient relay outage at bench time doesn't lose
+the run.  Set BENCH_SECONDARY=0 to skip the secondary measurements
 (three extra compiles through the remote tunnel: per_query reference-
 semantics sampling, all-entity cross-entropy, and the batch-8000 scaling
 ceiling).
@@ -40,8 +43,50 @@ REF_CPU_TRIPLES_PER_SEC_F64 = 1837.6  # measured: reference FFTRotH, torch 2.13 
 N_ENT, N_REL_RAW, RANK, BATCH, NEG = 40943, 11, 33, 500, 100
 
 
+def wait_for_tunnel(wait_budget_s: float, probe_timeout_s: float = 420.0):
+    """Block until a trivial device program completes, or the budget runs out.
+
+    The TPU is reached through a remote-compile tunnel whose relay can go
+    down for an hour+ (observed r03): in that state even `arange(8).sum()`
+    hangs inside the first compile, so an in-process attempt wedges the
+    backend.  Probe in a SUBPROCESS (fresh backend, killable) and only start
+    the real measurement once a probe round-trips.  On CPU/GPU images the
+    probe completes in seconds, so this is a no-op outside the tunnel.
+    """
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "print('PROBE_OK', float(jnp.arange(8.0).sum()))")
+    deadline = time.perf_counter() + wait_budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0 and b"PROBE_OK 28.0" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.perf_counter()
+        if remaining <= 0:
+            raise TimeoutError(
+                f"device probe failed {attempt}x over "
+                f"{wait_budget_s:.0f}s (BENCH_TUNNEL_WAIT_S) — the TPU "
+                "tunnel relay is down; retry when it is back")
+        print(f"# bench: device probe {attempt} failed; tunnel likely down, "
+              f"retrying ({remaining:.0f}s of wait budget left)",
+              file=sys.stderr, flush=True)
+        time.sleep(min(60.0, max(1.0, remaining)))
+
+
 def main():
     t_start = time.perf_counter()
+
+    # An unreachable tunnel must not burn the whole headline watchdog budget
+    # on a single doomed compile: wait (bounded) for a healthy probe first.
+    wait_for_tunnel(float(os.environ.get("BENCH_TUNNEL_WAIT_S", "3600")))
 
     import jax
     import jax.numpy as jnp
