@@ -30,6 +30,25 @@ from complexhyperbolickge_tpu.ops.math import mm_precision
 
 Params = Dict[str, jax.Array]
 
+
+class NoMask:
+    """Regularization factor that must NEVER be zeroed by padded-batch weights.
+
+    `regularizers._masked_sum` decides whether to mask by shape alone
+    (leading dim == batch size) — the same trap class the name-keyed entity
+    pad/unpad fixed for checkpoints: BaseC's full-entity-table factor
+    (complexm.get_factors, reference complex.py:54) has leading dim
+    n_entities, which can coincidentally equal the batch size (toy graphs
+    trained full-batch), silently zeroing entity rows at padded-batch
+    positions.  Wrapping the factor makes "don't mask" explicit instead of
+    shape-inferred.  Plain wrapper, not a pytree node: factors only flow
+    within a single trace (loss -> regularizer)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
 _DTYPES = {
     "float32": jnp.float32,
     "float": jnp.float32,
@@ -204,8 +223,11 @@ class KGModel:
         """
         head_e = params["entity"][queries[..., 0]]
         rel_e = params["rel"][queries[..., 1]]
-        rhs_e = params["entity"] if tails is None else params["entity"][tails]
-        return head_e, rel_e, rhs_e
+        if tails is None:
+            # full table, not a batch: see NoMask (padded-batch weights must
+            # not touch it even when n_entities == batch_size)
+            return head_e, rel_e, NoMask(params["entity"])
+        return head_e, rel_e, params["entity"][tails]
 
 
 # ----------------------------- shared primitives -----------------------------

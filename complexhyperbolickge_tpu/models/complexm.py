@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from complexhyperbolickge_tpu.models.base import KGModel, dot_all, dot_train
+from complexhyperbolickge_tpu.models.base import KGModel, NoMask, dot_all, dot_train
 from complexhyperbolickge_tpu.ops.fft import irfft_packed, rfft_packed
 
 COMPLEX_MODELS = ["ComplEx", "RotatE", "Fourier"]
@@ -59,7 +59,10 @@ class BaseC(KGModel):
         for f, half in ((head_e, self.half), (rel_e, self._rel_half()), (rhs_e, self.half)):
             re, im = f[..., :half], f[..., half:]
             out.append(jnp.sqrt(re**2 + im**2))
-        return tuple(out)
+        # the full-table factor is NOT a batch: NoMask keeps padded-batch
+        # weights off it even when n_entities == batch_size (regularizers'
+        # _masked_sum keys on the leading dim alone)
+        return out[0], out[1], NoMask(out[2])
 
     def _rel_half(self):
         return self.half

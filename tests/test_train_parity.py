@@ -192,9 +192,40 @@ def test_complex_fulltable_factor_parity(reg_name):
         ref_val = getattr(ref_reg, reg_name)(weight).forward(factors)
     jb = jnp.asarray(batch.astype(np.int32))
     our_factors = ours.get_factors(params, jb[:, :2], jb[:, 2:3])
-    assert our_factors[2].shape[0] == N_ENT  # full table, not gold rows
+    # full table, not gold rows — and explicitly marked unmaskable
+    from complexhyperbolickge_tpu.models.base import NoMask
+
+    assert isinstance(our_factors[2], NoMask)
+    assert our_factors[2].value.shape[0] == N_ENT
     our_val = get_regularizer(reg_name)(our_factors, weight, B, w1(B))
     np.testing.assert_allclose(float(our_val), float(ref_val), rtol=1e-10)
+
+
+@pytest.mark.parametrize("reg_name", ["N3", "F2", "L2"])
+def test_fulltable_factor_unmasked_when_batch_equals_n_entities(reg_name):
+    """Shape-coincidence guard: with n_entities == batch_size and a padded
+    batch (weight-0 rows), the full-table factor must still sum over ALL
+    entity rows.  _masked_sum keys on the leading dim alone, so before the
+    NoMask marker it zeroed entity-table rows at padded positions
+    (reproduced: N3 summed 2/6 entity rows away)."""
+    n_ent = B  # the coincidence under test
+    cfg = MC(n_entities=n_ent, n_relations=4, rank=8, dtype="float64")
+    model = get_model("ComplEx")(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    batch = rng.integers(0, n_ent, size=(B, 3)).astype(np.int32)
+    batch[:, 1] = rng.integers(0, 4, size=B)
+    jb = jnp.asarray(batch)
+    factors = model.get_factors(params, jb[:, :2], jb[:, 2:3])
+    w = jnp.asarray([1, 1, 1, 1, 0, 0], dtype=jnp.float64)
+    got = float(get_regularizer(reg_name)(factors, 0.05, jnp.sum(w), w))
+    p = 3 if reg_name == "N3" else 2
+    masked = lambda f: jnp.sum((jnp.abs(f) ** p) * w[:, None])  # noqa: E731
+    exp = 0.05 * (masked(factors[0]) + masked(factors[1])
+                  + jnp.sum(jnp.abs(factors[2].value) ** p))
+    if reg_name != "L2":
+        exp = exp / jnp.sum(w)
+    np.testing.assert_allclose(got, float(exp), rtol=1e-12)
 
 
 def test_masked_losses_match_unpadded(pair):
