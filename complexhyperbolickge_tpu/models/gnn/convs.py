@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from complexhyperbolickge_tpu.models.gnn import message as M
 from complexhyperbolickge_tpu.ops import hyperbolic as H
 from complexhyperbolickge_tpu.ops.euclidean import givens_rotations
+from complexhyperbolickge_tpu.ops.math import pinned_mm
 
 
 def _xavier(key, shape, dtype=jnp.float32):
@@ -53,7 +54,7 @@ def init_linear(key, d_in, d_out, bias=True, kind="xavier"):
 
 
 def apply_linear(p, x):
-    y = x @ p["w"]
+    y = pinned_mm(x, p["w"])
     return y + p["b"] if "b" in p else y
 
 
@@ -69,7 +70,7 @@ def init_mlp(key, d_in, d_hidden, d_out, num_layers=2):
 
 def apply_mlp(layers, x):
     for i, p in enumerate(layers):
-        x = x @ p["w"] + p["b"]
+        x = pinned_mm(x, p["w"]) + p["b"]
         if i < len(layers) - 1:
             x = jax.nn.relu(x)
     return x
@@ -123,11 +124,11 @@ class CompGCNConv:
             # (comp @ W)) exactly (up to float association) — E/N fewer
             # matmul FLOPs and no (E, d) post-matmul intermediate
             norm = M.compute_norm(head, w_edge, n_ent)
-            return M.segment_sum(norm[:, None] * comp, head, n_ent) @ w_mat
+            return pinned_mm(M.segment_sum(norm[:, None] * comp, head, n_ent), w_mat)
 
         agg_in = direction(p["w_in"], edge_w * dir_w)
         agg_out = direction(p["w_out"], edge_w * (1.0 - dir_w))
-        loop = self._compose(x, p["loop_rel"]) @ p["w_loop"]
+        loop = pinned_mm(self._compose(x, p["loop_rel"]), p["w_loop"])
         if key is not None and self.dropout > 0:
             k1, k2 = jax.random.split(key)
             agg_in = M.dropout(k1, agg_in, self.dropout)
@@ -136,7 +137,7 @@ class CompGCNConv:
         out = self._bn(p, out, node_w)
         if self.act is not None:
             out = self.act(out)
-        return out, rel @ p["w_rel"]
+        return out, pinned_mm(rel, p["w_rel"])
 
     def _bn(self, p, out, node_w=None):
         if node_w is None:
@@ -166,11 +167,11 @@ class CompGCNConv:
                                   indices_are_sorted=True)
             agg = M.segment_sum(norm[:, None] * comp, head[sl], n_ent,
                                 indices_are_sorted=True)
-            return agg @ w
+            return pinned_mm(agg, w)
 
         agg_in = direction(slice(0, half), p["w_in"])
         agg_out = direction(slice(half, e), p["w_out"])
-        loop = self._compose(x, p["loop_rel"]) @ p["w_loop"]
+        loop = pinned_mm(self._compose(x, p["loop_rel"]), p["w_loop"])
         if key is not None and self.dropout > 0:
             k1, k2 = jax.random.split(key)
             agg_in = M.dropout(k1, agg_in, self.dropout)
@@ -182,7 +183,7 @@ class CompGCNConv:
         out = self._bn(p, out)
         if self.act is not None:
             out = self.act(out)
-        return out, rel @ p["w_rel"]
+        return out, pinned_mm(rel, p["w_rel"])
 
     def regularizable(self, p):
         return [p["w_loop"], p["w_in"], p["w_out"], p["w_rel"]]
@@ -234,7 +235,7 @@ class PoincareConv:
 
     def _message(self, p, x_j, etype, rel, curv, mode):
         lc = jax.nn.softplus(p["loop_curvature"])
-        xj = x_j @ p["w_" + mode]
+        xj = pinned_mm(x_j, p["w_" + mode])
         xj = H.expmap0(xj, lc)
         bias = H.expmap0(p["b_" + mode], lc)
         xj = H.project(H.mobius_add(xj, bias, lc), lc)
@@ -378,7 +379,7 @@ class LorentzConv(PoincareConv):
 
     def _message(self, p, x_j, etype, rel, curv, mode):
         lc = jax.nn.softplus(p["loop_curvature"])
-        xj = x_j @ p["w_" + mode]
+        xj = pinned_mm(x_j, p["w_" + mode])
         xj = H.expmap0_lorentz(xj, lc)
         xj = H.lorentz_boost(xj, p["b_" + mode], lc)
         xj = H.logmap0_lorentz(xj, lc)

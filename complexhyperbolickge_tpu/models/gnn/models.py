@@ -29,6 +29,7 @@ from complexhyperbolickge_tpu.models.gnn import message as M
 from complexhyperbolickge_tpu.models.gnn.convs import CompGCNConv, LorentzConv, PoincareConv
 from complexhyperbolickge_tpu.ops import hyperbolic as H
 from complexhyperbolickge_tpu.ops.euclidean import givens_rotations
+from complexhyperbolickge_tpu.ops.math import pinned_mm
 from complexhyperbolickge_tpu.ops.math import tanh as _tanh  # ref ±15 clamp
 
 GNN_MODELS = ["CompGCN", "PoincareGCN", "LorentzGCN"]
@@ -250,7 +251,7 @@ class CompGCN(GNNModel):
 
     def get_r(self, params):
         if self.basis > 0:
-            return params["rel"] @ params["rel_basis"]
+            return pinned_mm(params["rel"], params["rel_basis"])
         return params["rel"]
 
     def get_queries(self, params, queries, cache=None):

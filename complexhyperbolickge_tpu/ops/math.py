@@ -136,3 +136,13 @@ def mm_precision() -> str:
     """The precision for all-pairs eval matmuls: "highest" unless inside
     eval_matmul_precision("default")."""
     return "highest" if _EVAL_MM_OVERRIDE is None else _EVAL_MM_OVERRIDE
+
+
+def pinned_mm(a, b):
+    """`a @ b` with MXU precision pinned to mm_precision().
+
+    jnp.matmul defaults to 1-pass bf16 on TPU: every contraction feeding a
+    score (directly or through an encoder) must pin precision, or eval at
+    the default --eval_precision highest is silently inexact and training
+    gradients inherit bf16 through transposition."""
+    return jnp.matmul(a, b, precision=mm_precision())

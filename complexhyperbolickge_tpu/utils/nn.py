@@ -13,6 +13,8 @@ import math
 import jax
 import jax.numpy as jnp
 
+from complexhyperbolickge_tpu.ops.math import pinned_mm
+
 
 class MLP:
     """Plain MLP (reference models/mlp.py:4-21)."""
@@ -33,7 +35,7 @@ class MLP:
 
     def apply(self, params, x):
         for i, p in enumerate(params):
-            x = x @ p["w"] + p["b"]
+            x = pinned_mm(x, p["w"]) + p["b"]
             if i < len(params) - 1:
                 x = jax.nn.relu(x)
         return x
@@ -61,7 +63,7 @@ class MonotonicMLP:
 
     def apply(self, params, x):
         for i, p in enumerate(params):
-            x = x @ jnp.abs(p["w"]) + p["b"]
+            x = pinned_mm(x, jnp.abs(p["w"])) + p["b"]
             if i < len(params) - 1:
                 x = jax.nn.relu(x)
         return x
