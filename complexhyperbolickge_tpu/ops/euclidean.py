@@ -29,6 +29,23 @@ def _pairs(v):
     return v.reshape(*v.shape[:-1], -1, 2)
 
 
+def _unit_pairs(g):
+    """Normalize (cos, sin) pairs to unit 2-vectors, NaN-free at exact zero.
+
+    The reference divides by the UNCLAMPED norm (utils/euclidean.py:40,71):
+    it NaNs only at an exactly-zero pair and correctly normalizes any other.
+    Plain `g / linalg.norm(g)` would match values but its VJP is NaN at a
+    zero pair even when the incoming cotangent is 0 (0 * (x/||x||=0/0));
+    torch's norm subgradient at 0 is 0, so the reference trains through it.
+    Clamping the SQUARED norm at the dtype tiny is value-identical to the
+    reference for every pair with norm >= sqrt(tiny) (~1.1e-19 in f32,
+    ~1.5e-154 in f64) — NOT at MIN_NORM=1e-15, which is a hyperbolic-ops
+    constant with no analogue here and would widen the divergence band by
+    four decades in f32."""
+    sq = jnp.sum(g * g, axis=-1, keepdims=True)
+    return g / jnp.sqrt(jnp.maximum(sq, jnp.finfo(g.dtype).tiny))
+
+
 def givens_rotations(r, x, scale=None, inverse=False):
     """Block-diagonal 2x2 rotations parameterized by unnormalized (cos, sin) pairs.
 
@@ -37,13 +54,7 @@ def givens_rotations(r, x, scale=None, inverse=False):
     and applied as rotation blocks to the pairs of `x`.  With `scale`, pairs
     are additionally scaled per block (IsoH / RotLH path, euclidean.py:43-51).
     """
-    g = _pairs(r)
-    # safe_norm, not linalg.norm: norm's VJP is NaN at an exactly-zero
-    # (cos, sin) pair even under the value clamp (the 0-cotangent times
-    # x/||x|| = 0/0 still poisons the step); torch's norm subgradient at 0
-    # is 0, so the reference trains through it.  Values are identical for
-    # any pair with norm > MIN_NORM; below that the reference NaNs anyway.
-    g = g / safe_norm(g)
+    g = _unit_pairs(_pairs(r))
     xp = _pairs(x)
     cos, sin = g[..., 0], g[..., 1]
     x0, x1 = xp[..., 0], xp[..., 1]
@@ -75,8 +86,7 @@ def givens_reflection(r, x):
     the true involutive reflection (matching upstream HazyResearch/KGEmb, which
     produced the published numbers); see tests/test_ops_euclidean.py.
     """
-    g = _pairs(r)
-    g = g / safe_norm(g)  # see givens_rotations: NaN-free VJP at zero pairs
+    g = _unit_pairs(_pairs(r))
     xp = _pairs(x)
     cos, sin = g[..., 0], g[..., 1]
     x0, x1 = xp[..., 0], xp[..., 1]

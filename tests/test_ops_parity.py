@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from tests.reference_loader import load
@@ -83,6 +84,28 @@ def test_tanh_arcosh(rng):
 def test_givens_rotations(x, y):
     allclose(E.givens_rotations(jnp.asarray(x), jnp.asarray(y)),
              ref_euc.givens_rotations(t(x), t(y)))
+
+
+def test_givens_tiny_pair_parity_and_zero_vjp(x, y):
+    """The reference divides by the UNCLAMPED pair norm (euclidean.py:40,71):
+    any nonzero pair — down to norm 1e-20 — is normalized exactly.  Pin that
+    our tiny-clamp matches it bit-wise there (a MIN_NORM=1e-15 floor did
+    not), and that the VJP at an exactly-zero pair is finite (where the
+    reference itself NaNs, torch norm subgradient aside)."""
+    xt = np.array(x, copy=True)
+    xt[:, 0], xt[:, 1] = 1e-20, -2e-20  # first (cos, sin) pair: tiny nonzero
+    allclose(E.givens_rotations(jnp.asarray(xt), jnp.asarray(y)),
+             ref_euc.givens_rotations(t(xt), t(y)))
+    from tests.test_model_parity import fixed_givens_reflection
+
+    allclose(E.givens_reflection(jnp.asarray(xt), jnp.asarray(y)),
+             fixed_givens_reflection(t(xt), t(y)))
+    xz = np.array(x, copy=True)
+    xz[:, :2] = 0.0  # exactly-zero pair: VJP must stay finite
+    for fn in (E.givens_rotations, E.givens_reflection):
+        g = jax.grad(lambda r: jnp.sum(fn(r, jnp.asarray(y)) ** 2))(
+            jnp.asarray(xz))
+        assert np.isfinite(np.asarray(g)).all()
 
 
 def test_givens_rotations_inverse(x, y):
