@@ -16,6 +16,8 @@ itself comes from the models' all-pairs MXU form (score_all).
 
 from __future__ import annotations
 
+import weakref
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -227,7 +229,20 @@ def make_predictor(model, k: int = 10):
     NaN scores — garbage served silently; the same host-side params
     finiteness check as get_ranking raises FloatingPointError instead
     (verdict cached per params object, so the serving hot path pays it
-    once per checkpoint, not per request)."""
+    once per checkpoint, not per request).  Finite params can STILL
+    overflow to NaN scores inside score_all (inf - inf), so the returned
+    top-k values get a host-side NaN check too — (B, k) is trivially small
+    next to the score matmul, and the server materializes it anyway.
+    -inf values are legitimate (filtered / pad columns when k exceeds the
+    unfiltered candidate count); NaN never is."""
+
+    def _check_topk(ids, vals):
+        if np.isnan(np.asarray(vals)).any():
+            raise FloatingPointError(
+                "NaN top-k prediction scores (score overflow at serving "
+                "time?) — refusing to serve arbitrary ids"
+            )
+        return ids, vals
 
     if getattr(model, "is_gnn", False):
         encode = jax.jit(lambda p: model.encode(p))
@@ -249,7 +264,7 @@ def make_predictor(model, k: int = 10):
             _check_params_finite(params)
             if state["params"] is not params:
                 state["params"], state["cache"] = params, encode(params)
-            return _predict(params, state["cache"], queries, fidx)
+            return _check_topk(*_predict(params, state["cache"], queries, fidx))
 
         return predict
 
@@ -265,7 +280,7 @@ def make_predictor(model, k: int = 10):
 
     def predict(params, queries, fidx=None):
         _check_params_finite(params)
-        return _predict(params, queries, fidx)
+        return _check_topk(*_predict(params, queries, fidx))
 
     return predict
 
@@ -323,26 +338,34 @@ def _all_finite(params):
 
 
 # params finiteness verdict cached per params object — eval calls
-# get_ranking 2x per split (lhs/rhs) with the same pytree.  The cache must
-# hold a strong ref to the pytree (id() alone would go stale when ids are
-# recycled after GC), which pins the params' DEVICE buffers — so it is kept
-# tiny: one eval pass reuses a single params object, and a training loop
-# makes a fresh one per epoch; 2 slots cover valid+test on the same params
-# without retaining old epochs' entity tables in HBM.
+# get_ranking 2x per split (lhs/rhs) with the same pytree.  Entries hold
+# WEAK refs to the leaf arrays, never the pytree: a strong ref would pin a
+# superseded epoch's entire entity table in HBM until eviction (GBs at the
+# scales the sharded rankers exist for).  Validity = every leaf is the
+# SAME object as the cached weakrefs' — sound even across id() recycling,
+# because jax arrays are immutable so identical leaves imply an identical
+# verdict; a dead weakref simply misses and rechecks.
 _FINITE_CACHE: dict = {}
-_FINITE_CACHE_MAX = 2
+_FINITE_CACHE_MAX = 8
 
 
 def _check_params_finite(params):
+    leaves = jax.tree.leaves(params)
     key = id(params)
     hit = _FINITE_CACHE.get(key)
-    if hit is not None and hit[0] is params:
+    if (hit is not None and len(hit[0]) == len(leaves)
+            and all(r() is l for r, l in zip(hit[0], leaves))):
         ok = hit[1]
     else:
         ok = bool(_all_finite(params))
-        if len(_FINITE_CACHE) >= _FINITE_CACHE_MAX:
-            _FINITE_CACHE.pop(next(iter(_FINITE_CACHE)))
-        _FINITE_CACHE[key] = (params, ok)
+        try:
+            refs = tuple(weakref.ref(l) for l in leaves)
+        except TypeError:  # non-weakrefable leaf (plain scalar): skip caching
+            refs = None
+        if refs is not None:
+            if len(_FINITE_CACHE) >= _FINITE_CACHE_MAX:
+                _FINITE_CACHE.pop(next(iter(_FINITE_CACHE)))
+            _FINITE_CACHE[key] = (refs, ok)
     if not ok:
         raise FloatingPointError(
             "non-finite model parameters entering evaluation (diverged "

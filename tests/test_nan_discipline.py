@@ -85,6 +85,76 @@ def test_nan_params_raise_in_predict(data):
 
 
 @pytest.mark.parametrize("backend", ["dense", "pallas"])
+def test_rank_poison_direct(data, backend):
+    """The in-program target*0 poison itself, not the host-side params gate:
+    calling the compiled rank program DIRECTLY (as the sharded eval loop and
+    any external embedding of the rankers would) with a NaN entity table
+    must yield NaN ranks — deleting the poison terms would return rank 1
+    everywhere (every comparison False) and this is the only test that
+    would catch it."""
+    model, params = _model_and_params(data)
+    pack = data.eval_pack("valid", "rhs")
+    rank_fn = make_best_ranker(model, 8, backend=backend)
+    bad = _poison(params, "pallas")  # whole-table NaN: every target is NaN
+    ranks = np.asarray(rank_fn(bad, jnp.asarray(pack.queries[:8]),
+                               jnp.asarray(pack.filter_idx[:8])))
+    assert np.isnan(ranks).all(), ranks
+
+
+def test_get_ranking_nonfinite_rank_backstop(data):
+    """get_ranking's host-side isfinite(out) check must catch a rank
+    program that emits NaN even when params are finite (the poison's
+    delivery channel)."""
+    model, params = _model_and_params(data)
+    pack = data.eval_pack("valid", "rhs")
+
+    def nan_rank_fn(p, qb, fb):
+        return jnp.full((qb.shape[0],), jnp.nan)
+
+    with pytest.raises(FloatingPointError, match="non-finite ranks"):
+        get_ranking(model, params, pack, batch_size=8, rank_fn=nan_rank_fn)
+
+
+def test_predict_refuses_nan_scores_with_finite_params(data):
+    """Finite params can still overflow to NaN scores inside score_all
+    (inf - inf) at serving time; the predictor must refuse to serve the
+    arbitrary ids top_k returns over NaNs."""
+    from types import SimpleNamespace
+
+    from complexhyperbolickge_tpu.train.evaluate import make_predictor
+
+    class _OverflowModel:
+        cfg = SimpleNamespace(n_entities=N_ENT)
+
+        def score_all(self, params, queries, cache=None):
+            return jnp.full((queries.shape[0], N_ENT), jnp.nan)
+
+    predict = make_predictor(_OverflowModel(), k=5)
+    finite_params = {"entity": jnp.ones((N_ENT, 4))}
+    q = jnp.zeros((3, 2), dtype=jnp.int32)
+    with pytest.raises(FloatingPointError, match="top-k"):
+        predict(finite_params, q)
+
+
+def test_finite_cache_does_not_pin_params(data):
+    """The finiteness cache must hold only WEAK refs: a superseded epoch's
+    params pytree (GBs of entity table at production scale) must be
+    collectable while cached."""
+    import gc
+    import weakref
+
+    from complexhyperbolickge_tpu.train.evaluate import _check_params_finite
+
+    model, params = _model_and_params(data)
+    probe = weakref.ref(params["entity"])
+    _check_params_finite(params)
+    _check_params_finite(params)  # second call: the cached-verdict path
+    del params
+    gc.collect()
+    assert probe() is None, "finite-cache retains a strong ref to params"
+
+
+@pytest.mark.parametrize("backend", ["dense", "pallas"])
 def test_nan_params_raise_in_sharded_eval(data, backend):
     from complexhyperbolickge_tpu.parallel import make_mesh
     from complexhyperbolickge_tpu.parallel.ranking import (
