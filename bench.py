@@ -62,23 +62,31 @@ def wait_for_tunnel(wait_budget_s: float, probe_timeout_s: float = 420.0):
     attempt = 0
     while True:
         attempt += 1
+        killed = False
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                timeout=probe_timeout_s, capture_output=True)
             if r.returncode == 0 and b"PROBE_OK 28.0" in r.stdout:
                 return
         except subprocess.TimeoutExpired:
-            pass
+            killed = True
         remaining = deadline - time.perf_counter()
         if remaining <= 0:
             raise TimeoutError(
                 f"device probe failed {attempt}x over "
                 f"{wait_budget_s:.0f}s (BENCH_TUNNEL_WAIT_S) — the TPU "
                 "tunnel relay is down; retry when it is back")
-        print(f"# bench: device probe {attempt} failed; tunnel likely down, "
-              f"retrying ({remaining:.0f}s of wait budget left)",
+        # a KILLED (hung) probe itself wedges the relay for minutes
+        # (documented tunnel behavior): re-probing straight into the wedge
+        # window would self-sustain the outage, so back off long after a
+        # kill; clean fast failures (backend init error) retry quickly
+        sleep_s = 480.0 if killed else 60.0
+        print(f"# bench: device probe {attempt} "
+              f"{'hung (killed)' if killed else 'failed'}; tunnel likely "
+              f"down, retrying in {sleep_s:.0f}s "
+              f"({remaining:.0f}s of wait budget left)",
               file=sys.stderr, flush=True)
-        time.sleep(min(60.0, max(1.0, remaining)))
+        time.sleep(min(sleep_s, max(1.0, remaining)))
 
 
 def main():
@@ -87,6 +95,9 @@ def main():
     # An unreachable tunnel must not burn the whole headline watchdog budget
     # on a single doomed compile: wait (bounded) for a healthy probe first.
     wait_for_tunnel(float(os.environ.get("BENCH_TUNNEL_WAIT_S", "3600")))
+    # time spent WAITING must not be charged to the measurement budgets
+    # below (it would silently skip the secondaries after a recovery)
+    t_start = time.perf_counter()
 
     import jax
     import jax.numpy as jnp
