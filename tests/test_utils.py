@@ -346,3 +346,24 @@ def test_validation_survives_python_dash_O():
                          capture_output=True, text=True, timeout=120)
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "RAISED", out.stdout + out.stderr
+
+
+def test_benchmark_modules_are_import_safe():
+    """Importing any benchmarks module must be side-effect-free: no jitted
+    program built, no TPU dialed, no work executed (gnn_eval_bench and
+    subgraph_bench once ran their whole measurement at import — a committed
+    regression; keep the whole package guarded behind __main__)."""
+    import importlib
+    import pathlib
+
+    import benchmarks
+
+    pkg_dir = pathlib.Path(benchmarks.__file__).parent
+    mods = sorted(p.stem for p in pkg_dir.glob("*.py") if p.stem != "__init__")
+    assert mods, pkg_dir
+    n_before = len(jax.live_arrays())
+    for name in mods:
+        importlib.import_module(f"benchmarks.{name}")
+    # no device buffers created at import => no traced/executed programs
+    assert len(jax.live_arrays()) == n_before, (
+        "a benchmarks module allocated device arrays at import time")
