@@ -90,8 +90,6 @@ def wait_for_tunnel(wait_budget_s: float, probe_timeout_s: float = 420.0):
 
 
 def main():
-    t_start = time.perf_counter()
-
     # An unreachable tunnel must not burn the whole headline watchdog budget
     # on a single doomed compile: wait (bounded) for a healthy probe first.
     wait_for_tunnel(float(os.environ.get("BENCH_TUNNEL_WAIT_S", "3600")))

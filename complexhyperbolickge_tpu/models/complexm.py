@@ -58,7 +58,14 @@ class BaseC(KGModel):
         out = []
         for f, half in ((head_e, self.half), (rel_e, self._rel_half()), (rhs_e, self.half)):
             re, im = f[..., :half], f[..., half:]
-            out.append(jnp.sqrt(re**2 + im**2))
+            # double-where: value-identical to sqrt(re^2+im^2) everywhere but
+            # with ZERO (not NaN) gradient at exactly-zero elements — the
+            # full-table rhs factor sweeps the mesh-padded zero rows
+            # (parallel/mesh.py::pad_entity_tree), where d sqrt(s)/ds at
+            # s == 0 would otherwise NaN the whole reg gradient under reg > 0
+            sq = re**2 + im**2
+            nz = sq > 0
+            out.append(jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0))
         # the full-table factor is NOT a batch: NoMask keeps padded-batch
         # weights off it even when n_entities == batch_size (regularizers'
         # _masked_sum keys on the leading dim alone)

@@ -364,7 +364,13 @@ def _check_params_finite(params):
             refs = None
         if refs is not None:
             if len(_FINITE_CACHE) >= _FINITE_CACHE_MAX:
-                _FINITE_CACHE.pop(next(iter(_FINITE_CACHE)))
+                # default=None: two serving threads can race to evict the
+                # same oldest key; losing that race must not KeyError a
+                # live predict() request
+                try:
+                    _FINITE_CACHE.pop(next(iter(_FINITE_CACHE)), None)
+                except (StopIteration, RuntimeError):
+                    pass  # concurrent mutation emptied/resized it: fine
             _FINITE_CACHE[key] = (refs, ok)
     if not ok:
         raise FloatingPointError(

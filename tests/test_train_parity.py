@@ -228,6 +228,37 @@ def test_fulltable_factor_unmasked_when_batch_equals_n_entities(reg_name):
     np.testing.assert_allclose(got, float(exp), rtol=1e-12)
 
 
+@pytest.mark.parametrize("reg_name", ["N3", "F2", "L2"])
+def test_complex_fulltable_factor_grad_finite_on_zero_pad_rows(reg_name):
+    """Mesh padding (parallel/mesh.py::pad_entity_tree) appends exactly-zero
+    entity rows; BaseC's full-table factor sweeps them every step.  A plain
+    sqrt(re^2+im^2) has NaN gradient at 0 (d sqrt/ds = inf, times 0 = NaN),
+    which NaN'd the WHOLE reg gradient under reg > 0 — pin the double-where
+    form: finite grads everywhere, exactly zero on the pad rows, and values
+    identical to the plain sqrt on nonzero rows."""
+    n_ent, n_pad = 10, 3
+    cfg = MC(n_entities=n_ent + n_pad, n_relations=4, rank=8, dtype="float64")
+    model = get_model("ComplEx")(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    # simulate pad_entity_tree: zero the trailing entity rows
+    params["entity"] = params["entity"].at[n_ent:].set(0.0)
+    rng = np.random.default_rng(7)
+    batch = rng.integers(0, n_ent, size=(B, 3)).astype(np.int32)
+    batch[:, 1] = rng.integers(0, 4, size=B)
+    jb = jnp.asarray(batch)
+
+    def reg_loss(p):
+        factors = model.get_factors(p, jb[:, :2], jb[:, 2:3])
+        return get_regularizer(reg_name)(factors, 0.05, B, w1(B))
+
+    val, grads = jax.value_and_grad(reg_loss)(params)
+    assert np.isfinite(float(val))
+    g_ent = np.asarray(grads["entity"])
+    assert np.isfinite(g_ent).all(), "NaN reg gradient on zero pad rows"
+    np.testing.assert_array_equal(g_ent[n_ent:], 0.0)
+    assert np.abs(g_ent[:n_ent]).sum() > 0  # real rows still learn
+
+
 def test_masked_losses_match_unpadded(pair):
     """Padding rows with weight 0 must not change any loss value."""
     ours, params, _, batch = pair
