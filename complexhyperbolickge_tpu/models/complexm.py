@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from complexhyperbolickge_tpu.models.base import KGModel, NoMask, dot_all, dot_train
 from complexhyperbolickge_tpu.ops.fft import irfft_packed, rfft_packed
+from complexhyperbolickge_tpu.ops.math import safe_sqrt
 
 COMPLEX_MODELS = ["ComplEx", "RotatE", "Fourier"]
 
@@ -58,14 +59,10 @@ class BaseC(KGModel):
         out = []
         for f, half in ((head_e, self.half), (rel_e, self._rel_half()), (rhs_e, self.half)):
             re, im = f[..., :half], f[..., half:]
-            # double-where: value-identical to sqrt(re^2+im^2) everywhere but
-            # with ZERO (not NaN) gradient at exactly-zero elements — the
-            # full-table rhs factor sweeps the mesh-padded zero rows
-            # (parallel/mesh.py::pad_entity_tree), where d sqrt(s)/ds at
-            # s == 0 would otherwise NaN the whole reg gradient under reg > 0
-            sq = re**2 + im**2
-            nz = sq > 0
-            out.append(jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0))
+            # the full-table rhs factor sweeps the mesh-padded zero rows
+            # (parallel/mesh.py::pad_entity_tree): plain sqrt has NaN
+            # gradient at exactly 0, which NaN'd the whole reg gradient
+            out.append(safe_sqrt(re**2 + im**2))
         # the full-table factor is NOT a batch: NoMask keeps padded-batch
         # weights off it even when n_entities == batch_size (regularizers'
         # _masked_sum keys on the leading dim alone)

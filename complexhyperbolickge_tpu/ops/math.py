@@ -87,6 +87,22 @@ def st_clip(x, lo=None, hi=None):
     return x + jax.lax.stop_gradient(jnp.clip(x, lo, hi) - x)
 
 
+def safe_sqrt(sq):
+    """Elementwise sqrt of a nonnegative quantity with ZERO (not NaN)
+    gradient at exactly 0, and values/gradients bit-identical to jnp.sqrt
+    everywhere sq > 0 (double-where: the inner where keeps the NaN cotangent
+    of d sqrt/ds = inf at s = 0 out of the backward pass entirely).
+
+    Use for magnitudes that sweep rows which are exactly zero by
+    construction — e.g. the complex family's full-table regularizer factor
+    over mesh-padded entity rows (parallel/mesh.py::pad_entity_tree), where
+    plain sqrt NaN'd the whole reg gradient.  Unlike safe_norm (which
+    clamps to MIN_NORM, matching torch's clamp_min) this returns an exact 0
+    at 0 and does not reduce over an axis."""
+    nz = sq > 0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
+
+
 def safe_norm(x, axis=-1, keepdims=True):
     """L2 norm clamped below by MIN_NORM, matching `.norm().clamp_min(MIN_NORM)`.
 

@@ -314,7 +314,12 @@ def _device_pack(pack, batch_size: int):
     qb = jnp.asarray(q.reshape(nb, batch_size, 3))
     fb = jnp.asarray(fidx.reshape(nb, batch_size, fidx.shape[1]))
     if len(_DEVICE_PACKS) >= _DEVICE_PACKS_MAX:
-        _DEVICE_PACKS.pop(next(iter(_DEVICE_PACKS)))
+        # same lock-free eviction race as _FINITE_CACHE below: two threads
+        # (validation concurrent with serving) can both pick the oldest key
+        try:
+            _DEVICE_PACKS.pop(next(iter(_DEVICE_PACKS)), None)
+        except (StopIteration, RuntimeError):
+            pass  # concurrent mutation emptied/resized it: fine
     _DEVICE_PACKS[key] = (pack, qb, fb)
     return qb, fb
 

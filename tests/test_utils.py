@@ -352,18 +352,36 @@ def test_benchmark_modules_are_import_safe():
     """Importing any benchmarks module must be side-effect-free: no jitted
     program built, no TPU dialed, no work executed (gnn_eval_bench and
     subgraph_bench once ran their whole measurement at import — a committed
-    regression; keep the whole package guarded behind __main__)."""
-    import importlib
+    regression; keep the whole package guarded behind __main__).
+
+    Runs in a FRESH subprocess so (a) every module is genuinely imported
+    (not a no-op on a sys.modules hit from an earlier test) and (b) even
+    transient device work that frees its arrays is caught: JAX_PLATFORMS
+    names a nonexistent backend, so the LAZY backend init performed by any
+    device work at import (jnp literal, device_put, jit dispatch) raises
+    RuntimeError — verified live: `jnp.arange(8).sum()` under this env
+    fails with \"Unable to initialize backend 'poisoned'\" while plain
+    imports succeed."""
+    import os
     import pathlib
+    import subprocess
+    import sys
 
     import benchmarks
 
     pkg_dir = pathlib.Path(benchmarks.__file__).parent
     mods = sorted(p.stem for p in pkg_dir.glob("*.py") if p.stem != "__init__")
     assert mods, pkg_dir
-    n_before = len(jax.live_arrays())
-    for name in mods:
-        importlib.import_module(f"benchmarks.{name}")
-    # no device buffers created at import => no traced/executed programs
-    assert len(jax.live_arrays()) == n_before, (
-        "a benchmarks module allocated device arrays at import time")
+    code = (
+        "import importlib\n"
+        f"for name in {mods!r}:\n"
+        "    importlib.import_module(f'benchmarks.{name}')\n"
+        "print('IMPORTS_CLEAN')\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="poisoned")
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # never dial the TPU tunnel
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300, env=env,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "IMPORTS_CLEAN", out.stdout + out.stderr
