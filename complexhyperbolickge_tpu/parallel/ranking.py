@@ -156,12 +156,16 @@ def make_sharded_ranker(model, mesh, n_entities: int,
         return {**params, **pad_entity_tree(sub, n, np_)}
 
     pad_jit = jax.jit(_pad, out_shardings=out_sh)
-    cache = {"src": None, "padded": None}
+    # single-slot (src, padded) pair, written atomically (two slots let a
+    # concurrent reader pair one params version with another's tables)
+    cache = {"bound": None}
 
     def _tables(params):
-        if cache["src"] is not params:
-            cache["src"], cache["padded"] = params, pad_jit(params)
-        return cache["padded"]
+        bound = cache["bound"]  # single read
+        if bound is None or bound[0] is not params:
+            bound = (params, pad_jit(params))
+            cache["bound"] = bound
+        return bound[1]
 
     @jax.jit
     def _rank_many(params, qb, fb):
@@ -273,17 +277,19 @@ def make_sharded_gnn_ranker(model, mesh, n_entities: int,
     pad_jit = jax.jit(_pad, out_shardings=(row_sh, row_sh, row_sh, rep))
 
     # encoded+padded tables cached per params version, keyed by a STRONG
-    # reference to the params object (same policy as make_ranker's GNN cache)
-    cache = {"src": None, "tables": None}
+    # reference to the params object (same policy as make_ranker's GNN
+    # cache); single-slot (src, tables) pair, written atomically
+    cache = {"bound": None}
 
     def _tables(params):
-        if cache["src"] is not params:
+        bound = cache["bound"]  # single read
+        if bound is None or bound[0] is not params:
             x, rel_pack = encode(params)
             xs, bhs, bts, rest = pad_jit(params, x)
             rel_pack = jax.device_put(rel_pack, rep)
-            cache["src"] = params
-            cache["tables"] = (xs, bhs, bts, rel_pack, rest)
-        return cache["tables"]
+            bound = (params, (xs, bhs, bts, rel_pack, rest))
+            cache["bound"] = bound
+        return bound[1]
 
     @jax.jit
     def _rank_many(tables, qb, fb):
@@ -608,12 +614,16 @@ def _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other,
         *tables_rest, qb, fb = args
         return jax.lax.map(lambda x: fn(*tables_rest, *x), (qb, fb))
 
-    cache = {"src": None, "tables": None}
+    # single-slot (src, tables) pair, written atomically (see the dense
+    # sharded ranker above)
+    cache = {"bound": None}
 
     def _tables(params):
-        if cache["src"] is not params:
-            cache["src"], cache["tables"] = params, prep_jit(params)
-        return cache["tables"]
+        bound = cache["bound"]  # single read
+        if bound is None or bound[0] is not params:
+            bound = (params, prep_jit(params))
+            cache["bound"] = bound
+        return bound[1]
 
     def ranker(params, q, fidx):
         return jit_fn(*_tables(params), q, fidx)

@@ -61,8 +61,15 @@ def filtered_rank_counts(scores, target, fidx, n_entities: int):
     return total - sub + add
 
 
-def make_ranker(model, eval_batch_size: int, precision: str = "highest"):
+def make_ranker(model, eval_batch_size: int | None = None,
+                precision: str = "highest"):
     """Compiled filtered-ranking over one query batch.
+
+    eval_batch_size is accepted for signature symmetry with
+    make_best_ranker and the Pallas rankers (which consume it for tile
+    padding) but is NOT compiled in here: the XLA programs specialize on
+    the shapes of the arrays passed at call time, so one ranker serves any
+    batch size (each distinct shape pays its own compile).
 
     For GNN models the full-graph encoder output is computed ONCE and bound
     as a cache (mirroring the reference's cached forward_base during eval,
@@ -100,13 +107,19 @@ def make_ranker(model, eval_batch_size: int, precision: str = "highest"):
             return jax.lax.map(lambda x: _core(params, cache, *x), (qb, fb))
 
         # cache keyed on the params OBJECT, held by strong reference (an id()
-        # key could alias a new pytree allocated at a freed address)
-        state = {"params": None, "cache": None}
+        # key could alias a new pytree allocated at a freed address).  The
+        # (params, cache) pair lives in ONE slot written atomically: two
+        # slots let a concurrent validation/serving thread pair one params
+        # version with another version's encoder cache — silently wrong
+        # scores until the next params swap.
+        state = {"bound": None}
 
         def _bind(params):
-            if state["params"] is not params:
-                state["params"], state["cache"] = params, encode(params)
-            return state["cache"]
+            bound = state["bound"]  # single read: never re-read after check
+            if bound is None or bound[0] is not params:
+                bound = (params, encode(params))
+                state["bound"] = bound
+            return bound[1]
 
         def rank_batch(params, q, fidx):
             return rank_core(params, _bind(params), q, fidx)
@@ -246,7 +259,9 @@ def make_predictor(model, k: int = 10):
 
     if getattr(model, "is_gnn", False):
         encode = jax.jit(lambda p: model.encode(p))
-        state = {"params": None, "cache": None}
+        # single-slot (params, cache) pair, written atomically — see _bind
+        # in make_ranker for the two-slot interleave this prevents
+        state = {"bound": None}
 
         @jax.jit
         def _predict(params, cache, queries, fidx):
@@ -262,9 +277,11 @@ def make_predictor(model, k: int = 10):
 
         def predict(params, queries, fidx=None):
             _check_params_finite(params)
-            if state["params"] is not params:
-                state["params"], state["cache"] = params, encode(params)
-            return _check_topk(*_predict(params, state["cache"], queries, fidx))
+            bound = state["bound"]  # single read
+            if bound is None or bound[0] is not params:
+                bound = (params, encode(params))
+                state["bound"] = bound
+            return _check_topk(*_predict(params, bound[1], queries, fidx))
 
         return predict
 
@@ -384,10 +401,34 @@ def _check_params_finite(params):
         )
 
 
+# Default rankers cached per (model identity, precision): a fresh
+# make_ranker per call would build brand-new jit closures, so jax's
+# compilation cache never hits and every validation pass pays a full
+# rank-program compile (40s-6min through the remote tunnel).  Strong
+# model reference (same id()-aliasing policy as _DEVICE_PACKS), FIFO cap.
+_DEFAULT_RANKERS: dict = {}
+_DEFAULT_RANKERS_MAX = 16
+
+
+def _default_ranker(model, precision: str = "highest"):
+    key = (id(model), precision)
+    hit = _DEFAULT_RANKERS.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    fn = make_ranker(model, precision=precision)
+    if len(_DEFAULT_RANKERS) >= _DEFAULT_RANKERS_MAX:
+        try:
+            _DEFAULT_RANKERS.pop(next(iter(_DEFAULT_RANKERS)), None)
+        except (StopIteration, RuntimeError):
+            pass  # concurrent eviction race: fine
+    _DEFAULT_RANKERS[key] = (model, fn)
+    return fn
+
+
 def get_ranking(model, params, pack, batch_size: int = 500, rank_fn=None):
     """Ranks of the gold entity for every query in an EvalPack."""
     _check_params_finite(params)
-    rank_fn = rank_fn or make_ranker(model, batch_size)
+    rank_fn = rank_fn or _default_ranker(model)
     n = pack.queries.shape[0]
     qb, fb = _device_pack(pack, batch_size)
     if hasattr(rank_fn, "rank_many"):
@@ -416,7 +457,7 @@ def _direction_metrics(ranks: np.ndarray):
 def compute_metrics(model, params, dataset, split: str, batch_size: int = 500,
                     rel_idx: int = -1, rank_fn=None):
     """Both-direction filtered metrics (reference models/base.py:282-322)."""
-    rank_fn = rank_fn or make_ranker(model, batch_size)
+    rank_fn = rank_fn or _default_ranker(model)
     out = {}
     for direction in ("rhs", "lhs"):
         pack = dataset.eval_pack(split, direction, rel_idx=rel_idx)

@@ -94,6 +94,11 @@ class SubgraphTrainer:
         )
         self.reg_fn = get_regularizer(cfg.regularizer)
         self._step = self._build_step()
+        # gradient accumulation (reference kg_optimizer.py:347-356: grads
+        # SUM over k batches, optimizer steps every k-th and at epoch end)
+        self._k_acc = max(1, cfg.update_steps)
+        if self._k_acc > 1:
+            self._grad_step, self._apply_acc = self._build_acc_steps()
 
     def init(self, key):
         params = self.model.init(key)
@@ -166,6 +171,32 @@ class SubgraphTrainer:
 
         return step
 
+    def _build_acc_steps(self):
+        """update_steps > 1: the fused step above would apply the optimizer
+        every batch, silently dropping the user's accumulation request.
+        Split into a grad-accumulate step and an apply step the host loop
+        triggers every k-th batch / at epoch end (the batch count is not
+        known up front — the sampler is a stream — so the final partial
+        window applies when the queue drains, matching the reference's
+        `counter + 1 == len(self.loader)` branch)."""
+        grad_fn = jax.value_and_grad(self._loss)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def grad_step(params, acc, node_ids, edges, edge_w, train_mask,
+                      node_w, queries, gqueries, labels, n_nodes, qw, key):
+            loss, grads = grad_fn(params, node_ids, edges, edge_w, train_mask,
+                                  node_w, queries, gqueries, labels, n_nodes,
+                                  qw, key)
+            return jax.tree.map(jnp.add, acc, grads), loss
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def apply_acc(params, opt_state, acc):
+            updates, opt_state = self.tx.update(acc, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, jax.tree.map(jnp.zeros_like, acc)
+
+        return grad_step, apply_acc
+
     # --------------------------------- epoch ---------------------------------
 
     def _prep_host(self, sub: Subgraph):
@@ -231,6 +262,9 @@ class SubgraphTrainer:
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         losses = []
+        acc = (jax.tree.map(jnp.zeros_like, params)
+               if self._k_acc > 1 else None)
+        n_pending = 0
         try:
             while True:
                 item = q.get()
@@ -241,15 +275,27 @@ class SubgraphTrainer:
                 (node_ids, edges, edge_w, train_mask, node_w, queries, gq,
                  labels, n_nodes, qw) = item
                 key, sk = jax.random.split(key)
-                params, opt_state, loss = self._step(
-                    params, opt_state,
+                args = (
                     jnp.asarray(node_ids), jnp.asarray(edges),
                     jnp.asarray(edge_w), jnp.asarray(train_mask),
                     jnp.asarray(node_w), jnp.asarray(queries),
                     jnp.asarray(gq), jnp.asarray(labels),
                     jnp.float32(n_nodes), jnp.asarray(qw), sk,
                 )
+                if self._k_acc == 1:
+                    params, opt_state, loss = self._step(
+                        params, opt_state, *args)
+                else:
+                    acc, loss = self._grad_step(params, acc, *args)
+                    n_pending += 1
+                    if n_pending == self._k_acc:
+                        params, opt_state, acc = self._apply_acc(
+                            params, opt_state, acc)
+                        n_pending = 0
                 losses.append(loss)
+            if n_pending:  # epoch-end flush of a partial window
+                params, opt_state, acc = self._apply_acc(
+                    params, opt_state, acc)
         finally:
             stop.set()
             t.join()

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,46 @@ class TrainConfig:
     scan_unroll: int = 1
 
 
+class _RssState(NamedTuple):
+    sum_of_squares: object
+
+
+def _scale_by_rss_torch(initial_accumulator_value: float = 0.0,
+                        eps: float = 1e-10):
+    """torch.optim.Adagrad's accumulator scaling: g / (sqrt(acc) + eps),
+    eps OUTSIDE the root (torch/optim/adagrad.py `std = sqrt(acc) + eps`).
+
+    optax.adagrad instead computes g * rsqrt(acc + eps) — at KG-embedding
+    init scale (init_size 1e-3, first-step row grads ~1e-6, acc ~1e-12 vs
+    eps 1e-10) that shrinks the first updates ~10x, silently diverging
+    Adagrad trajectories from the reference (whose DEFAULT optimizer this
+    is, run.py:47)."""
+
+    def init(params):
+        return _RssState(jax.tree.map(
+            lambda p: jnp.full_like(p, initial_accumulator_value), params))
+
+    def update(grads, state, params=None):
+        del params
+        acc = jax.tree.map(lambda s, g: s + g * g,
+                           state.sum_of_squares, grads)
+        updates = jax.tree.map(lambda g, s: g / (jnp.sqrt(s) + eps),
+                               grads, acc)
+        return updates, _RssState(acc)
+
+    return optax.GradientTransformation(init, update)
+
+
+def torch_adagrad(learning_rate, eps: float = 1e-10,
+                  initial_accumulator_value: float = 0.0):
+    """Adagrad with torch's exact update rule (defaults: lr_decay=0,
+    weight_decay=0, which the reference never overrides, run.py:205)."""
+    return optax.chain(
+        _scale_by_rss_torch(initial_accumulator_value, eps),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
     """All optimizers are wrapped in inject_hyperparams so the learning rate
     lives in the optimizer STATE — enabling reduce_lr (the reference
@@ -73,7 +113,9 @@ def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
 
         return optax.inject_hyperparams(sparse_adam, hyperparam_dtype=jnp.float32)(learning_rate=lr)
     if name == "Adagrad":
-        return optax.inject_hyperparams(optax.adagrad, hyperparam_dtype=jnp.float32)(
+        # NOT optax.adagrad: its rsqrt(acc + eps) puts eps inside the root
+        # (see _scale_by_rss_torch) — trajectory parity needs torch's form
+        return optax.inject_hyperparams(torch_adagrad, hyperparam_dtype=jnp.float32)(
             learning_rate=lr, initial_accumulator_value=0.0, eps=1e-10
         )
     if name == "SGD":  # not in the reference's choices; used by parity tests
@@ -137,9 +179,16 @@ class Trainer:
         )
         from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
 
-        # set unconditionally: the flag is process-global, so a True from an
-        # earlier Trainer must not leak into this one's traces
-        set_fused_train_scorer(bool(cfg.fused_scorer) and is_tpu_backend())
+        # The flag is process-global but read at TRACE time (a jax 0.9
+        # custom_vjp/nondiff_argnums bug inside jit(scan) forces the module-
+        # flag form — see ops/chyperbolic.py), and tracing happens at the
+        # FIRST run_epoch/valid_loss call, not at construction: arm it at
+        # every dispatch so a Trainer constructed in between cannot override
+        # this one's config (two trainers built up front then run would
+        # otherwise both trace with the second one's flag).
+        self._fused_flag = bool(cfg.fused_scorer) and is_tpu_backend()
+        self._set_fused = set_fused_train_scorer
+        self._set_fused(self._fused_flag)
         self._epoch_fn = self._build_epoch_fn()
         self._valid_fn = self._build_valid_fn()
 
@@ -304,6 +353,7 @@ class Trainer:
 
     def run_epoch(self, params, opt_state, batches, weights, key, labels=None):
         """One full epoch; returns (params, opt_state, mean loss)."""
+        self._set_fused(self._fused_flag)  # trace-time flag: arm per dispatch
         params, opt_state, loss = self._epoch_fn(
             params, opt_state, jnp.asarray(batches), jnp.asarray(weights),
             None if labels is None else jnp.asarray(labels), key,
@@ -311,6 +361,7 @@ class Trainer:
         return params, opt_state, float(loss)
 
     def valid_loss(self, params, batches, weights, key, labels=None):
+        self._set_fused(self._fused_flag)  # trace-time flag: arm per dispatch
         return float(
             self._valid_fn(
                 params, jnp.asarray(batches), jnp.asarray(weights),

@@ -202,3 +202,77 @@ def test_subgraph_training_bf16_smoke(data):
     params, opt_state, loss_v = trainer.run_epoch(
         params, opt_state, 32, rng, jax.random.PRNGKey(1), epoch_id=0)
     assert np.isfinite(loss_v)
+
+
+def test_subgraph_update_steps_accumulates(data):
+    """update_steps=k must SUM grads over k batches and step the optimizer
+    every k-th batch + flush the partial window at epoch end (reference
+    kg_optimizer.py:347-356) — it was silently ignored for a round (a step
+    per batch).  Replay the identical sampler/key stream by hand with SGD
+    and assert the trajectories are exactly equal."""
+    import jax.numpy as jnp
+    import optax
+
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, dtype="float32")
+
+    class A:
+        hidden_dim = 8
+        layers = 2
+        edge_dropout = 0.1  # keyed: exercises the key-chain replay too
+        dropout = 0.0
+        opn = "mult"
+        interaction = "distmult"
+        basis = 0
+
+    K = 3
+    model = get_model("CompGCN")(cfg, A(), data)
+    tcfg = TrainConfig(learning_rate=0.05, batch_size=64, neg_sample_size=0,
+                       loss="crossentropy", optimizer="SGD", update_steps=K)
+    trainer = SubgraphTrainer(model, tcfg, data, fanouts=(4, 4),
+                              max_nodes=MAX_NODES, max_edges=MAX_EDGES)
+    params0, opt_state = trainer.init(jax.random.PRNGKey(0))
+    # run_epoch's apply step DONATES params: hand it its own deep copy so
+    # params0's buffers survive for the manual replay below
+    run_params = jax.tree.map(lambda x: jnp.array(x, copy=True), params0)
+    key = jax.random.PRNGKey(7)
+    params, _, _ = trainer.run_epoch(
+        run_params, opt_state, 64, np.random.default_rng(5), key,
+        epoch_id=0)
+
+    # ---- manual replay: same batches (fresh rng(5)), same key splits ----
+    grad_fn = jax.grad(trainer._loss)
+    cur = dict(params0)
+    acc = jax.tree.map(jnp.zeros_like, cur)
+    k = jax.random.PRNGKey(7)
+    pending = 0
+    n_batches = 0
+    for sub in trainer.sampler.epoch(64, np.random.default_rng(5),
+                                     seed_base=0):
+        (node_ids, edges, edge_w, train_mask, node_w, queries, gq, labels,
+         n_nodes, qw) = trainer._prep_host(sub)
+        k, sk = jax.random.split(k)
+        g = grad_fn(cur, jnp.asarray(node_ids), jnp.asarray(edges),
+                    jnp.asarray(edge_w), jnp.asarray(train_mask),
+                    jnp.asarray(node_w), jnp.asarray(queries),
+                    jnp.asarray(gq), jnp.asarray(labels),
+                    jnp.float32(n_nodes), jnp.asarray(qw), sk)
+        acc = jax.tree.map(jnp.add, acc, g)
+        pending += 1
+        n_batches += 1
+        if pending == K:
+            cur = optax.apply_updates(
+                cur, jax.tree.map(lambda x: -tcfg.learning_rate * x, acc))
+            acc = jax.tree.map(jnp.zeros_like, acc)
+            pending = 0
+    assert n_batches % K != 0, "pick shapes that leave a partial window"
+    cur = optax.apply_updates(
+        cur, jax.tree.map(lambda x: -tcfg.learning_rate * x, acc))
+
+    for (ka, va), (kb, vb) in zip(
+            sorted(jax.tree.leaves_with_path(params), key=lambda kv: str(kv[0])),
+            sorted(jax.tree.leaves_with_path(cur), key=lambda kv: str(kv[0]))):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=1e-6, atol=1e-7, err_msg=str(ka))

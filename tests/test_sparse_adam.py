@@ -97,3 +97,41 @@ def test_reduce_lr():
     g = {"w": jnp.ones((3,))}
     up, _ = tx.update(g, st2, {"w": jnp.ones((3,))})
     assert np.isfinite(np.asarray(up["w"])).all()
+
+
+def test_torch_adagrad_matches_torch():
+    """trainer.make_optimizer('Adagrad') must follow torch's update rule
+    g/(sqrt(acc)+eps) — eps OUTSIDE the root.  optax.adagrad's
+    rsqrt(acc+eps) diverges up to ~10x on the tiny first-step gradients KG
+    init scales produce (init_size 1e-3), and Adagrad is the reference's
+    DEFAULT optimizer.  Includes grads at that tiny scale on purpose."""
+    from complexhyperbolickge_tpu.train.trainer import make_optimizer
+
+    rng = np.random.default_rng(3)
+    w0 = rng.normal(0, 1e-3, (N, D))
+    # mix of tiny (init-scale) and O(1) gradients
+    grads = np.concatenate(
+        [rng.normal(0, 1e-6, (STEPS, N, D)), rng.normal(0, 1.0, (STEPS, N, D))]
+    )
+
+    w_t = torch.from_numpy(w0.copy()).requires_grad_(True)
+    opt = torch.optim.Adagrad([w_t], lr=LR)
+    for g in grads:
+        opt.zero_grad()
+        w_t.grad = torch.from_numpy(g)
+        opt.step()
+
+    tx = make_optimizer("Adagrad", LR)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    # rtol 1e-6: make_optimizer stores the lr as f32 (inject_hyperparams
+    # hyperparam_dtype, required for the scan-carried reduce_lr state) —
+    # everything else is f64-exact; the eps-inside-the-root bug this test
+    # pins was a ~10x (1e1) divergence on the tiny-grad rows
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), w_t.detach().numpy(), rtol=1e-6
+    )
