@@ -49,6 +49,12 @@ class NoMask:
     def __init__(self, value):
         self.value = value
 
+    @property
+    def shape(self):
+        # callers normalize by factors[0].shape[0] (trainer.py); delegate so
+        # a NoMask in slot 0 (e.g. every GNN factor) keeps that working
+        return self.value.shape
+
 _DTYPES = {
     "float32": jnp.float32,
     "float": jnp.float32,
@@ -247,3 +253,15 @@ def dot_all(x, y):
 
 def sq_norms(v, axis=-1):
     return jnp.sum(v * v, axis=axis)
+
+
+def neg_sq_dist(lhs, rhs_e, all_pairs: bool):
+    """-(|x|^2 + |y|^2 - 2xy): the 'dist' sim shared by BaseE and CompGCN
+    (reference euclidean.py:24-30) — one definition so precision pins /
+    numerical guards can't drift between the two."""
+    x2 = jnp.sum(lhs * lhs, axis=-1, keepdims=True)  # (B, 1)
+    if all_pairs:
+        y2 = jnp.sum(rhs_e * rhs_e, axis=-1)[None, :]  # (1, N)
+        return -(x2 + y2 - 2 * dot_all(lhs, rhs_e))
+    y2 = jnp.sum(rhs_e * rhs_e, axis=-1)  # (B, K)
+    return -(x2 + y2 - 2 * dot_train(lhs, rhs_e))

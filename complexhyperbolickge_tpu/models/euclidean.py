@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from complexhyperbolickge_tpu.models.base import KGModel, dot_all, dot_train
+from complexhyperbolickge_tpu.models.base import KGModel, dot_all, dot_train, neg_sq_dist
 from complexhyperbolickge_tpu.ops.euclidean import givens_reflection, givens_rotations
 
 EUC_MODELS = ["TransE", "CP", "MurE", "RotE", "RefE", "AttE"]
@@ -25,15 +25,7 @@ class BaseE(KGModel):
         (lhs_e,) = lhs_pack
         if self.sim_kind == "dot":
             return dot_all(lhs_e, rhs_e) if all_pairs else dot_train(lhs_e, rhs_e)
-        if all_pairs:
-            x2 = jnp.sum(lhs_e * lhs_e, axis=-1, keepdims=True)  # (B, 1)
-            y2 = jnp.sum(rhs_e * rhs_e, axis=-1)[None, :]  # (1, N)
-            xy = dot_all(lhs_e, rhs_e)
-            return -(x2 + y2 - 2 * xy)
-        x2 = jnp.sum(lhs_e * lhs_e, axis=-1, keepdims=True)  # (B, 1)
-        y2 = jnp.sum(rhs_e * rhs_e, axis=-1)  # (B, K)
-        xy = dot_train(lhs_e, rhs_e)
-        return -(x2 + y2 - 2 * xy)
+        return neg_sq_dist(lhs_e, rhs_e, all_pairs)
 
     def _finish(self, params, queries, lhs_e):
         return (lhs_e,), params["bh"][queries[..., 0]]
@@ -106,7 +98,11 @@ class AttE(BaseE):
         return {
             "ref": ((nr, r), "uniform"),
             "rot": ((nr, r), "uniform"),
-            "context_vec": ((nr, r), "normal"),
+            # the reference re-inits only rot/ref (euclidean.py:155-157);
+            # context_vec keeps torch's nn.Embedding default N(0,1) — NOT
+            # init_size-scaled (unlike AttH, which re-inits it at
+            # hyperbolic.py:108), so attention starts sharp, not uniform
+            "context_vec": ((nr, r), ("normal", 0.0, 1.0)),
         }
 
     def get_queries(self, params, queries):

@@ -244,12 +244,11 @@ class PoincareConv:
             xj = self._rel_transform(xj, rel[etype], curv[etype])
         return xj
 
-    def apply(self, p, x, edges, rel_pack, edge_w, key=None):
-        rel, curv_raw = rel_pack  # (Nr, >=3*d_in), (Nr, 1) un-softplused
-        head, tail, etype = edges
-        n_ent = x.shape[0]
-
-        # relation + curvature update (poincaregnn.py:59-81)
+    def _update_rel(self, p, rel, curv_raw):
+        """Relation + curvature update (poincaregnn.py:59-81): w_rel linear,
+        curvature MLP, then the b_rel1/b_rel2 Mobius adds.  ONE definition
+        shared by apply and apply_masked (LorentzConv overrides — no b_rel
+        adds, lorentzgnn.py:57-63)."""
         trc = jnp.concatenate([rel[..., : 3 * self.d_in], curv_raw], axis=-1)
         out_rel = apply_linear(p["w_rel"], trc)
         c_out_raw = apply_mlp(p["mlp_curvature"], trc)
@@ -260,7 +259,13 @@ class PoincareConv:
         rel1 = H.logmap0(rel1, c_out)
         rel2 = H.logmap0(rel2, c_out)
         out_rel = jnp.concatenate([rel1, rel2, rot], axis=-1)
+        return out_rel, c_out, c_out_raw
 
+    def apply(self, p, x, edges, rel_pack, edge_w, key=None):
+        rel, curv_raw = rel_pack  # (Nr, >=3*d_in), (Nr, 1) un-softplused
+        head, tail, etype = edges
+
+        out_rel, c_out, c_out_raw = self._update_rel(p, rel, curv_raw)
         out = self._propagate(p, x, (head, tail, etype), out_rel, c_out, edge_w)
         if self.act is not None:
             out = self.act(out)
@@ -321,19 +326,7 @@ class PoincareConv:
         n_ent = x.shape[0]
         lc = jax.nn.softplus(p["loop_curvature"])
 
-        trc = jnp.concatenate([rel[..., : 3 * self.d_in], curv_raw], axis=-1)
-        out_rel = apply_linear(p["w_rel"], trc)
-        c_out_raw = apply_mlp(p["mlp_curvature"], trc)
-        c_out = jax.nn.softplus(c_out_raw)
-        if type(self) is PoincareConv:
-            rel1, rel2, rot = jnp.split(out_rel, 3, axis=-1)
-            rel1 = H.mobius_add(H.expmap0(rel1, c_out),
-                                H.expmap0(p["b_rel1"], c_out), c_out)
-            rel2 = H.mobius_add(H.expmap0(rel2, c_out),
-                                H.expmap0(p["b_rel2"], c_out), c_out)
-            out_rel = jnp.concatenate(
-                [H.logmap0(rel1, c_out), H.logmap0(rel2, c_out), rot], axis=-1
-            )
+        out_rel, c_out, c_out_raw = self._update_rel(p, rel, curv_raw)
 
         et_in = self._etype_for(etype, dir_w, rel.shape[0], "in")
         et_out = self._etype_for(etype, dir_w, rel.shape[0], "out")
@@ -387,21 +380,13 @@ class LorentzConv(PoincareConv):
             xj = self._rel_transform(xj, rel[etype], curv[etype])
         return xj
 
-    def apply(self, p, x, edges, rel_pack, edge_w, key=None):
-        rel, curv_raw = rel_pack
+    def _update_rel(self, p, rel, curv_raw):
+        """No b_rel Mobius adds (lorentzgnn.py:57-63); apply/apply_masked
+        are inherited from PoincareConv and route through this override."""
         trc = jnp.concatenate([rel[..., : 3 * self.d_in], curv_raw], axis=-1)
-        out_rel = apply_linear(p["w_rel"], trc)  # no b_rel Mobius adds
+        out_rel = apply_linear(p["w_rel"], trc)
         c_out_raw = apply_mlp(p["mlp_curvature"], trc)
-        c_out = jax.nn.softplus(c_out_raw)
-
-        out = self._propagate(p, x, edges, out_rel, c_out, edge_w)
-        if self.act is not None:
-            out = self.act(out)
-        if key is not None and self.dropout > 0:
-            k1, k2 = jax.random.split(key)
-            out = M.dropout(k1, out, self.dropout)
-            out_rel = M.dropout(k2, out_rel, self.dropout)
-        return out, (out_rel, c_out_raw)
+        return out_rel, jax.nn.softplus(c_out_raw), c_out_raw
 
     def _propagate(self, p, x, edges, rel, curv, edge_w):
         """Lorentz method-1 (lorentzgnn.py:117-143).  NB the reference swaps

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from complexhyperbolickge_tpu.models.base import KGModel, ModelConfig, dot_all, dot_train
+from complexhyperbolickge_tpu.models.base import KGModel, ModelConfig, dot_all, dot_train, neg_sq_dist
 from complexhyperbolickge_tpu.models.gnn import message as M
 from complexhyperbolickge_tpu.models.gnn.convs import CompGCNConv, LorentzConv, PoincareConv
 from complexhyperbolickge_tpu.ops import hyperbolic as H
@@ -48,6 +48,10 @@ class GNNModel(KGModel):
         self.n_layers = getattr(args, "layers", 2)
         self.edge_dropout = getattr(args, "edge_dropout", 0.0)
         self.feat_dropout = getattr(args, "dropout", 0.0)
+        # between-layer feature dropout on x (reference messagepassing.py:
+        # 208-215); default False, enabled by CompGCN (euclideangnn.py:108)
+        # — IN ADDITION to each conv's internal aggregation dropout
+        self.drop_in_between = False
         train = dataset.data["train"]  # forward edges only (no inverses)
         self.edge_head = jnp.asarray(train[:, 0].astype(np.int32))
         self.edge_tail = jnp.asarray(train[:, 2].astype(np.int32))
@@ -90,7 +94,14 @@ class GNNModel(KGModel):
         k1, k2 = jax.random.split(key)
         params = super().init(k1)
         lkeys = jax.random.split(k2, len(self.layers))
-        params["gnn"] = [l.init(k) for l, k in zip(self.layers, lkeys)]
+        # conv initializers draw in f32; honor cfg.dtype like the base
+        # tables do (float64 parity / bfloat16 runs were silently getting a
+        # mixed-dtype pytree with f32 encoder weights)
+        wd = self.cfg.jnp_dtype
+        params["gnn"] = [
+            jax.tree.map(lambda w: w.astype(wd), l.init(k))
+            for l, k in zip(self.layers, lkeys)
+        ]
         return params
 
     # -------------------------------- encoder --------------------------------
@@ -123,6 +134,10 @@ class GNNModel(KGModel):
                 key, lk = jax.random.split(key)
             x, rel_pack = layer.apply(p, x, edges, rel_pack, edge_w, key=lk)
             if i != len(self.layers) - 1:
+                if (training and self.drop_in_between
+                        and self.feat_dropout > 0 and key is not None):
+                    key, dk = jax.random.split(key)
+                    x = M.dropout(dk, x, self.feat_dropout)
                 rel_pack = self._act_r(rel_pack)
         return self.finish_cache(x, rel_pack)
 
@@ -153,6 +168,10 @@ class GNNModel(KGModel):
                 key=lk,
             )
             if i != len(self.layers) - 1:
+                if (training and self.drop_in_between
+                        and self.feat_dropout > 0 and key is not None):
+                    key, dk = jax.random.split(key)
+                    x = M.dropout(dk, x, self.feat_dropout)
                 rel_pack = self._act_r(rel_pack)
         return self.finish_cache(x, rel_pack)
 
@@ -185,10 +204,17 @@ class GNNModel(KGModel):
         return self._apply_bias(s, lhs_b, params["bt"], all_pairs=True)
 
     def get_factors(self, params, queries=None, tails=None):
-        """Regularizable encoder weights (reference gnnbase.py:145-147)."""
+        """Regularizable encoder weights (reference gnnbase.py:145-147).
+
+        Wrapped in NoMask: these are weight MATRICES (leading dim = d_in /
+        hidden), not batches — _masked_sum keys on shape[0] alone, so a
+        padded batch whose static size coincides with a weight's leading
+        dim would silently zero rows of the penalty (CLAUDE.md trap)."""
+        from complexhyperbolickge_tpu.models.base import NoMask
+
         out = []
         for layer, p in zip(self.layers, params["gnn"]):
-            out.extend(layer.regularizable(p))
+            out.extend(NoMask(f) for f in layer.regularizable(p))
         return tuple(out)
 
 
@@ -238,7 +264,11 @@ class CompGCN(GNNModel):
     def extra_param_specs(self):
         if self.basis > 0:
             return {
-                "rel_basis": ((self.basis, self.cfg.rank), "normal"),
+                # fresh nn.Embedding in the reference (euclideangnn.py:
+                # 115-120, created after the base init and never
+                # re-initialized): torch default N(0,1), NOT init_size —
+                # the encoder's relation inputs start at O(1)
+                "rel_basis": ((self.basis, self.cfg.rank), ("normal", 0.0, 1.0)),
                 # rel holds coefficients (Nr, B) — overridden shape below
             }
         return {}
@@ -246,7 +276,9 @@ class CompGCN(GNNModel):
     def param_specs(self):
         specs = super().param_specs()
         if self.basis > 0:
-            specs["rel"] = ((self.cfg.n_relations, self.basis), "normal")
+            # same fresh-embedding N(0,1) as rel_basis above
+            specs["rel"] = ((self.cfg.n_relations, self.basis),
+                            ("normal", 0.0, 1.0))
         return specs
 
     def get_r(self, params):
@@ -265,13 +297,7 @@ class CompGCN(GNNModel):
         (lhs,) = lhs_pack
         if self.interaction == "distmult":
             return dot_all(lhs, rhs_e) if all_pairs else dot_train(lhs, rhs_e)
-        if all_pairs:
-            x2 = jnp.sum(lhs * lhs, axis=-1, keepdims=True)
-            y2 = jnp.sum(rhs_e * rhs_e, axis=-1)[None, :]
-            return -(x2 + y2 - 2 * dot_all(lhs, rhs_e))
-        x2 = jnp.sum(lhs * lhs, axis=-1, keepdims=True)
-        y2 = jnp.sum(rhs_e * rhs_e, axis=-1)
-        return -(x2 + y2 - 2 * dot_train(lhs, rhs_e))
+        return neg_sq_dist(lhs, rhs_e, all_pairs)
 
 
 # ------------------------------- PoincareGCN ---------------------------------
@@ -291,8 +317,13 @@ class PoincareGCN(GNNModel):
         return {
             "rel_diag": ((nr, self.cfg.rank), "uniform"),
             # per-relation raw curvature input to the first layer
-            # (reference poincaregnn.py:474: c_layer)
-            "c_layer": ((nr if self.cfg.multi_c else 1, 1), "zeros"),
+            # (reference poincaregnn.py:474: multi_c is a fresh
+            # nn.Embedding left at torch's default N(0,1); only the
+            # single-c Parameter is zeros)
+            "c_layer": (
+                ((nr, 1), ("normal", 0.0, 1.0)) if self.cfg.multi_c
+                else ((1, 1), "zeros")
+            ),
         }
 
     def get_r(self, params):
@@ -352,7 +383,9 @@ class LorentzGCN(GNNModel):
         nr = self.cfg.n_relations
         return {
             "rel_diag": ((nr, self.cfg.rank), "uniform"),
-            "c_layer": ((nr, 1), "zeros"),  # always per-relation (lorentzgnn.py:243)
+            # always per-relation, and a fresh nn.Embedding left at torch's
+            # default N(0,1) (lorentzgnn.py:243 — never re-initialized)
+            "c_layer": ((nr, 1), ("normal", 0.0, 1.0)),
         }
 
     def get_r(self, params):

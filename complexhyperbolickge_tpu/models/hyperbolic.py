@@ -228,9 +228,14 @@ class IFFTH(BaseH):
     def __init__(self, cfg):
         super().__init__(cfg)
         self.n = (cfg.rank // 2) + 1  # complex dim after rfft
-        if self.n % 2 != 0:  # user-config validation: must survive python -O
+        # user-config validation: must survive python -O.  rank must ALSO be
+        # even: irfft of n bins returns 2(n-1) = rank-1 dims for odd rank,
+        # which only crashes later at trace time with an opaque broadcast
+        # error in mobius_add.
+        if cfg.rank % 2 != 0 or self.n % 2 != 0:
             raise ValueError(
-                f"IFFTH requires n = rank//2 + 1 even; got n={self.n} (rank={cfg.rank})"
+                f"IFFTH requires rank even and n = rank//2 + 1 even; "
+                f"got rank={cfg.rank}, n={self.n}"
             )
 
     # reference: softplus only when multi_c (hyperbolic.py:257)
@@ -249,7 +254,12 @@ class IFFTH(BaseH):
         rel1 = H.expmap0(rel1, c)
         rel2 = H.expmap0(rel2, c)
         head = H.project(H.mobius_add(head, rel1, c), c)
-        head_f = jnp.fft.rfft(head, norm="ortho")  # (B, n) complex
+        from complexhyperbolickge_tpu.ops.fft import _fft_dtype
+
+        # XLA's FFT HLO only accepts f32/f64: bf16 round-trips through f32
+        # (same guard as ops/fft.py's packed helpers)
+        head_f = jnp.fft.rfft(head.astype(_fft_dtype(head.dtype)),
+                              norm="ortho")  # (B, n) complex
         a, b, angle = jnp.split(params["rel_diag"][r], 3, axis=-1)
         head_f = givens_unitary(a, b, angle, head_f)
         head = jnp.fft.irfft(head_f, norm="ortho").astype(head.dtype)  # (B, rank)

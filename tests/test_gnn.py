@@ -177,3 +177,80 @@ def test_lorentz_full_graph_types_are_per_edge(data):
     x1, _ = model.encode(params)
     np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
                                atol=1e-5, rtol=1e-4)
+
+
+# --------------------- reference-default init parity --------------------------
+
+
+def test_gnn_init_honors_model_dtype(data):
+    """Conv initializers draw in f32 but the pytree must honor cfg.dtype —
+    f64 parity runs silently carried f32-precision encoder weights for a
+    round (and bf16 runs promoted back to f32 after the first matmul)."""
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, dtype="float64")
+    model = get_model("CompGCN")(cfg, _Args(), data)
+    params = model.init(jax.random.PRNGKey(0))
+    bad = [l.dtype for l in jax.tree.leaves(params["gnn"])
+           if l.dtype != jnp.float64]
+    assert not bad, bad
+
+
+def test_untouched_fresh_embeddings_keep_torch_default_init(data):
+    """Embeddings the reference creates AFTER its base init and never
+    re-initializes keep torch's nn.Embedding default N(0,1), NOT the
+    init_size=1e-3 scale: AttE's context_vec (euclidean.py:150-157 re-inits
+    only rot/ref), CompGCN's basis coeffs+vectors (euclideangnn.py:115-120),
+    and the multi_c curvature embeddings (poincaregnn.py:474,
+    lorentzgnn.py:243).  A std ratio test at 1e-3 vs 1.0 cannot flake."""
+    n_ent, n_rel, _ = data.get_shape()
+
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, dtype="float32")
+    atte = get_model("AttE")(cfg)
+    p = atte.init(jax.random.PRNGKey(0))
+    assert 0.5 < float(jnp.std(p["context_vec"])) < 2.0
+    assert float(jnp.std(p["rel"])) < 0.1  # base rel stays init_size-scaled
+
+    gnn = get_model("CompGCN")(cfg, _Args(), data)
+    basis = get_model("CompGCN")(cfg, type("A", (_Args,), {"basis": 4})(), data)
+    pb = basis.init(jax.random.PRNGKey(0))
+    assert 0.5 < float(jnp.std(pb["rel"])) < 2.0
+    assert 0.5 < float(jnp.std(pb["rel_basis"])) < 2.0
+    pg = gnn.init(jax.random.PRNGKey(0))
+    assert float(jnp.std(pg["rel"])) < 0.1  # non-basis rel is base-init
+
+    for name in ("PoincareGCN", "LorentzGCN"):
+        m = get_model(name)(cfg, _Args(), data)
+        pm = m.init(jax.random.PRNGKey(0))
+        assert 0.5 < float(jnp.std(pm["c_layer"])) < 2.0, name
+    single = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                         multi_c=False, dtype="float32")
+    m1 = get_model("PoincareGCN")(single, _Args(), data)
+    p1 = m1.init(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(p1["c_layer"]), 0.0)
+
+
+def test_compgcn_between_layer_dropout(data):
+    """CompGCN applies feature dropout on x BETWEEN conv layers when
+    training (reference messagepassing.py:208-215, enabled at
+    euclideangnn.py:108) — missing for a round.  Toggle drop_in_between on
+    the same model/key: the training encode must change; eval encode must
+    not.  Hyperbolic GNNs keep it off (reference default False)."""
+    model, params = _build(data, "CompGCN", edge_dropout=0.0, dropout=0.5)
+    assert model.drop_in_between is True
+    key = jax.random.PRNGKey(3)
+    x1, _ = model.encode(params, key=key, training=True)
+    model.drop_in_between = False
+    x2, _ = model.encode(params, key=key, training=True)
+    model.drop_in_between = True
+    assert not np.allclose(np.asarray(x1), np.asarray(x2))
+    # eval path ignores it entirely
+    e1, _ = model.encode(params)
+    model.drop_in_between = False
+    e2, _ = model.encode(params)
+    model.drop_in_between = True
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+    hyp, hp = _build(data, "PoincareGCN", edge_dropout=0.0, dropout=0.5)
+    assert hyp.drop_in_between is False

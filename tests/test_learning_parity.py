@@ -224,14 +224,23 @@ def test_fb_shaped_dynamics_match_reference_adagrad(fb_data):
     hundreds-of-relations KG.  Covers the Adagrad trajectory end-to-end,
     which step-level parity cannot (SURVEY: |g|-normalized optimizers turn
     sub-ulp sign flips into full-lr divergences)."""
+    # 24 epochs = PLATEAU for both stacks.  Mid-training MRR is NOT
+    # comparable under Adagrad: the first-step update is ~lr*sign(g)
+    # (acc = g^2, eps tiny), so f32-vs-f64 sub-ulp gradient noise becomes a
+    # full-lr divergence immediately (the CLAUDE.md Adam/Adagrad trap) —
+    # measured 2026-08-19 (epochs: ref/ours): 8: 0.67/0.78 and 0.20/0.64
+    # (seed-33 data), 16: 1.00/0.96 and 0.99/1.00, 24: 1.00/1.00 on both.
+    # The old 8-epoch band only held because the pre-fix optax Adagrad
+    # (eps inside the root) under-stepped tiny gradients, coincidentally
+    # tracking the reference mid-run.
     kw = dict(name="FFTRotH", rank=RANK, optimizer="Adagrad", lr=0.05,
-              batch=500, epochs=8)
+              batch=500, epochs=24)
     mrr_ref = train_reference(fb_data, **kw)
     mrr_ours = train_ours(fb_data, **kw)
     chance = 2.0 / N_ENT_FB
     assert mrr_ref > 5 * chance, f"reference failed to learn: {mrr_ref}"
     assert mrr_ours > 5 * chance, f"ours failed to learn: {mrr_ours}"
-    assert abs(mrr_ours - mrr_ref) < 0.10, (mrr_ours, mrr_ref)
+    assert abs(mrr_ours - mrr_ref) < 0.03, (mrr_ours, mrr_ref)
     print(f"FB-shaped Adagrad: ours={mrr_ours:.3f} ref={mrr_ref:.3f}")
 
 

@@ -385,3 +385,27 @@ def test_benchmark_modules_are_import_safe():
                          cwd=os.path.dirname(os.path.dirname(__file__)))
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "IMPORTS_CLEAN", out.stdout + out.stderr
+
+
+def test_iffth_rank_validation_and_bf16():
+    """IFFTH: odd rank passes the n-even check but irfft returns rank-1
+    dims (opaque trace-time broadcast crash) — rank must be even too.  And
+    jnp.fft.rfft rejects bfloat16 (XLA FFT is f32/f64-only): the bf16 guard
+    must round-trip through f32 like ops/fft.py's packed helpers."""
+    import pytest
+
+    from complexhyperbolickge_tpu.models import ModelConfig, get_model
+
+    with pytest.raises(ValueError, match="rank"):
+        # rank 7 -> n = 4 (even): slipped past the old check
+        get_model("IFFTH")(ModelConfig(n_entities=20, n_relations=4, rank=7,
+                                       bias="learn", dtype="float32"))
+
+    cfg = ModelConfig(n_entities=20, n_relations=4, rank=6, bias="learn",
+                      multi_c=True, dtype="bfloat16")
+    m = get_model("IFFTH")(cfg)
+    p = m.init(jax.random.PRNGKey(0))
+    q = jnp.asarray([[1, 2, 3], [4, 1, 0]], dtype=jnp.int32)
+    s = m.score_all(p, q[:, :2])
+    assert s.shape == (2, 20)
+    assert np.isfinite(np.asarray(s, dtype=np.float32)).all()
