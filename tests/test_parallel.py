@@ -423,20 +423,18 @@ def test_signed_ce_training_on_mesh_matches_single_device(data, setup):
         )
 
 
-def test_gnn_training_on_mesh_matches_single_device():
-    """CompGCN (full-graph encoder: segment-sum message passing) trained on a
-    (4,2) mesh with sharded params/batches must match single-device training —
-    GSPMD must handle the encoder's gathers/segment-sums over the row-sharded
-    entity table.  (The CLI permits --mesh for GNN models; this is the test
-    behind that.)  Uses its own 48-entity KG: GNN entity tables are only
-    row-sharded when divisible — padding would shift the encoder's
-    batch-norm statistics, so shard_params(pad=False) replicates instead
-    (see test_gnn_odd_entities_replicates below)."""
+def _gnn_mesh_vs_single(dtype):
+    """One CompGCN epoch single-device vs a (4,2) mesh; returns both pytrees.
+
+    Uses its own 48-entity KG: GNN entity tables are only row-sharded when
+    divisible — padding would shift the encoder's batch-norm statistics, so
+    shard_params(pad=False) replicates instead (see
+    test_gnn_odd_entities_replicates below)."""
     data48 = synthetic_kg(n_entities=48, n_relations=4, n_train=256,
                           n_valid=32, n_test=32, seed=3)
     n_ent, n_rel, _ = data48.get_shape()
     cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
-                      multi_c=True, dtype="float32")
+                      multi_c=True, dtype=dtype)
 
     class _Args:
         hidden_dim = 8
@@ -463,10 +461,40 @@ def test_gnn_training_on_mesh_matches_single_device():
     sp = shard_params(jax.tree.map(jnp.copy, params), mesh, pad=False)
     sb, sw, _ = shard_epoch_arrays(mesh, jnp.asarray(b), jnp.asarray(w))
     p2, _, loss2 = trainer.run_epoch(sp, trainer.tx.init(sp), sb, sw, key)
+    return p1, loss1, p2, loss2
 
+
+def test_gnn_training_on_mesh_matches_single_device():
+    """CompGCN (full-graph encoder: segment-sum message passing) trained on a
+    (4,2) mesh with sharded params/batches must match single-device training —
+    GSPMD must handle the encoder's gathers/segment-sums over the row-sharded
+    entity table.  (The CLI permits --mesh for GNN models; this is the test
+    behind that.)
+
+    Band provenance (root-caused r04): the f32 single-vs-mesh residual is
+    PURE GSPMD reassociation — the f64 variant below matches bitwise.  The
+    worst leaf is the layer-0 bn_bias gradient (a batch-dim sum whose psum
+    order differs on the mesh), measured 1.29e-5 after one epoch.  The old
+    1e-5 band only ever passed because pre-4759fc1 the BN params initialized
+    in f64 under the x64 test env (masking exactly that leaf); 4759fc1 made
+    the encoder honestly f32 and exposed the true residual.  3e-5 = measured
+    drift with ~2x headroom; tightening it requires fixing reduction order
+    under GSPMD, which XLA does not expose."""
+    p1, loss1, p2, loss2 = _gnn_mesh_vs_single("float32")
     np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
     for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=3e-5)
+
+
+def test_gnn_training_on_mesh_matches_single_device_f64_exact():
+    """The f64 leg of the same comparison must be (near-)bitwise: any real
+    logic divergence between the sharded and single-device GNN training step
+    shows up here at full magnitude, while f32 reassociation noise vanishes.
+    This is the strong guarantee behind the f32 test's 3e-5 band."""
+    p1, loss1, p2, loss2 = _gnn_mesh_vs_single("double")
+    np.testing.assert_allclose(loss1, loss2, rtol=0, atol=1e-12)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-12)
 
 
 def test_gnn_odd_entities_replicates(data):
