@@ -283,26 +283,14 @@ def train(args) -> dict:
 
     mesh = None
     if getattr(args, "mesh", None):
-        if getattr(args, "subgraph", False):
-            # the subgraph trainer's per-batch host sampling feeds a
-            # single-device jit; silently combining it with a mesh would
-            # train replicated without the model-axis sharding the user
-            # asked for — refuse loudly instead
-            raise SystemExit(
-                "--subgraph and --mesh are mutually exclusive: subgraph "
-                "mode exists for graphs whose ENCODER outgrows one chip's "
-                "HBM and trains single-device; mesh training uses the "
-                "full-graph encoder. Drop one of the flags."
-            )
         from complexhyperbolickge_tpu.parallel import make_mesh, shard_params
 
         d, m = (int(x) for x in args.mesh.lower().split("x"))
         mesh = make_mesh((d, m))
-        # GNN models keep entity tables replicated when padding would be
-        # needed: their full-graph encoder computes batch-norm statistics
-        # over all node rows, which zero pad rows would shift
-        params = shard_params(params, mesh,
-                              pad=not getattr(model, "is_gnn", False))
+        # entity tables row-shard over 'model' at ANY entity count (odd
+        # counts zero-padded); GNN encoders mask pad rows out of their
+        # batch-norm statistics (models/gnn/models.py::encode)
+        params = shard_params(params, mesh)
         opt_state = trainer.tx.init(params)
         logging.info("Mesh: data=%d model=%d over %d devices", d, m, d * m)
 
@@ -423,7 +411,11 @@ def train(args) -> dict:
     if getattr(args, "subgraph", False):
         from complexhyperbolickge_tpu.train.subgraph import SubgraphTrainer
 
-        sub_trainer = SubgraphTrainer(model, tcfg, dataset)
+        # composes with --mesh: query-dim arrays shard over 'data' per step
+        # and the (padded) entity tables stay row-sharded over 'model' —
+        # the encoder-outgrows-one-chip workload gets both HBM scaling and
+        # data parallelism (train/subgraph.py docstring)
+        sub_trainer = SubgraphTrainer(model, tcfg, dataset, mesh=mesh)
 
     from complexhyperbolickge_tpu.utils.profiling import trace
 

@@ -150,7 +150,12 @@ class CompGCNConv:
             var = jnp.sum(w * (out - mean) ** 2, axis=0, keepdims=True) / n
         return (out - mean) / jnp.sqrt(var + 1e-5) * p["bn_scale"] + p["bn_bias"]
 
-    def apply(self, p, x, edges, rel_pack, edge_w, key=None):
+    def apply(self, p, x, edges, rel_pack, edge_w, key=None, node_w=None):
+        """Full-graph layout ([forward; inverse] halves, each sorted by
+        receiving node).  node_w, when given, masks rows out of the
+        batch-norm statistics — the full-graph analogue of apply_masked's
+        subgraph mask, used when the entity table carries zero pad rows for
+        mesh row-sharding (parallel/mesh.py::pad_entity_tree)."""
         rel = rel_pack
         head, tail, etype = edges
         n_ent, e = x.shape[0], head.shape[0]
@@ -179,8 +184,9 @@ class CompGCNConv:
         out = (agg_in + agg_out + loop) / 3.0
 
         # batch-norm over nodes (batch statistics; reference uses
-        # nn.BatchNorm1d, euclideangnn.py:27,37)
-        out = self._bn(p, out)
+        # nn.BatchNorm1d, euclideangnn.py:27,37); node_w excludes mesh pad
+        # rows from the statistics so padded row-sharding matches unpadded
+        out = self._bn(p, out, node_w)
         if self.act is not None:
             out = self.act(out)
         return out, pinned_mm(rel, p["w_rel"])
@@ -261,7 +267,10 @@ class PoincareConv:
         out_rel = jnp.concatenate([rel1, rel2, rot], axis=-1)
         return out_rel, c_out, c_out_raw
 
-    def apply(self, p, x, edges, rel_pack, edge_w, key=None):
+    def apply(self, p, x, edges, rel_pack, edge_w, key=None, node_w=None):
+        # node_w accepted for signature uniformity with CompGCNConv (mesh
+        # pad-row masking); unused — every cross-row op here is row-local
+        # per receiving node (pad rows aggregate nothing and pollute nothing)
         rel, curv_raw = rel_pack  # (Nr, >=3*d_in), (Nr, 1) un-softplused
         head, tail, etype = edges
 

@@ -111,8 +111,23 @@ class GNNModel(KGModel):
 
     def encode(self, params, key=None, training: bool = False):
         """Full-graph forward_base (reference gnnbase.py:41-84): edge dropout
-        (as a weight mask), inverse-edge mirroring, then the layer stack."""
+        (as a weight mask), inverse-edge mirroring, then the layer stack.
+
+        Tolerates a row-PADDED entity table (parallel/mesh.py: zero pad rows
+        make odd entity counts divisible by the mesh 'model' axis): edges
+        only reference real ids, every other op is row-local, and the one
+        cross-row statistic — CompGCN's batch-norm — excludes pad rows via
+        node_w, so padded encoder output matches unpadded up to float
+        reassociation.  Pad rows of the ENCODED table are garbage by
+        construction; every consumer masks columns >= n_entities
+        (train/losses.py, train/evaluate.py::_mask_pad_cols,
+        parallel/ranking.py)."""
         x = params["entity"]
+        node_w = None
+        if x.shape[0] != self.cfg.n_entities:  # mesh pad rows present
+            node_w = (jnp.arange(x.shape[0]) < self.cfg.n_entities).astype(
+                x.dtype
+            )
         rel_pack = self.get_r(params)
         e = self.edge_head.shape[0]
         rate = self.edge_dropout if training else 0.0
@@ -132,7 +147,8 @@ class GNNModel(KGModel):
             lk = None
             if key is not None:
                 key, lk = jax.random.split(key)
-            x, rel_pack = layer.apply(p, x, edges, rel_pack, edge_w, key=lk)
+            x, rel_pack = layer.apply(p, x, edges, rel_pack, edge_w, key=lk,
+                                      node_w=node_w)
             if i != len(self.layers) - 1:
                 if (training and self.drop_in_between
                         and self.feat_dropout > 0 and key is not None):

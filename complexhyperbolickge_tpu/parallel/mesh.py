@@ -190,10 +190,14 @@ def shard_params(params: dict, mesh: Mesh, pad: bool = True) -> dict:
 
     pad=True (default): entity tables whose row count does not divide the
     model axis are zero-padded to the next multiple (pad_entity_tree) so
-    row sharding works at real dataset scales (odd entity counts).
-    pad=False: such tables are replicated instead — the right choice for
-    GNN models, whose full-graph encoder computes batch-norm statistics
-    over ALL node rows (pad rows would shift them; models/gnn/convs.py)."""
+    row sharding works at real dataset scales (odd entity counts).  This
+    includes GNN models: the full-graph encoder masks pad rows out of its
+    batch-norm statistics (models/gnn/models.py::encode node_w), so the
+    one workload that NEEDS multi-chip HBM — an encoder table too big for
+    one chip — actually row-shards at real entity counts.
+    pad=False: such tables are replicated instead (kept as an escape hatch
+    for exact unpadded-BN numerics; r03 shipped this as the forced GNN
+    policy before the masked-stats path covered the mesh case)."""
     n_shards = mesh.shape["model"]
     if pad and n_shards > 1:
         n_ent = params["entity"].shape[0] if "entity" in params else 0

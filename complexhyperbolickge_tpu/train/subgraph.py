@@ -68,10 +68,23 @@ def build_subgraph_labels(sub: Subgraph, max_nodes: int) -> np.ndarray:
 
 
 class SubgraphTrainer:
-    """Sampler-driven training loop for GNNModel instances."""
+    """Sampler-driven training loop for GNNModel instances.
+
+    mesh (optional): a parallel.mesh two-axis Mesh.  The per-step QUERY-dim
+    arrays (queries, gqueries, labels, qw) are committed sharded over
+    'data' — GSPMD splits the (B, max_nodes) decode/loss across the data
+    axis and inserts the gradient psum — while the subgraph structure
+    arrays (node_ids, edges, masks) stay replicated: one subgraph per step,
+    exactly the single-device math.  The ENTITY tables may simultaneously
+    be row-sharded over 'model' (parallel/mesh.py::shard_params): the
+    encoder's node_ids row gathers become GSPMD collectives, so the one
+    workload subgraph mode exists for — an entity table too big for one
+    chip's HBM — actually scales across chips.  The producer thread is
+    unchanged (it builds per-step GLOBAL arrays; sharding happens at
+    device_put in the consumer)."""
 
     def __init__(self, model, cfg: TrainConfig, dataset, fanouts=(20, 20),
-                 max_nodes: int = 4096, max_edges: int = 32768):
+                 max_nodes: int = 4096, max_edges: int = 32768, mesh=None):
         # user-config validation: must survive python -O
         if not getattr(model, "is_gnn", False):
             raise ValueError("subgraph mode is GNN-only")
@@ -79,6 +92,37 @@ class SubgraphTrainer:
             raise ValueError(
                 "subgraph mode uses CE/BCE over subgraph nodes "
                 "(reference kg_optimizer.py:373-396); set neg_sample_size 0"
+            )
+        self.mesh = mesh
+        self._shardings = None
+        self._sync_per_step = False
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if cfg.batch_size % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"subgraph batch_size {cfg.batch_size} must divide by "
+                    f"the mesh 'data' axis {mesh.shape['data']}"
+                )
+            rep = NamedSharding(mesh, P())
+            dp = lambda nd: NamedSharding(mesh, P("data", *([None] * (nd - 1))))
+            # one sharding per _step arg after (params, opt_state):
+            # node_ids, edges, edge_w, train_mask, node_w replicated;
+            # queries/gqueries (B,3), labels (B,*), qw (B,) on 'data'
+            self._shardings = (rep, rep, rep, rep, rep,
+                               dp(2), dp(2), dp(2), rep, dp(1))
+            # XLA's CPU in-process collectives deadlock when >1 collective
+            # program is in flight: each virtual device's all-reduce thunk
+            # parks a thread-pool thread in a rendezvous, and concurrently
+            # dispatched steps starve it ("Expected N threads to join, but
+            # only N-1 arrived" -> SIGABRT).  The full-graph Trainer never
+            # hits this (one lax.scan = one program per epoch); subgraph
+            # mode dispatches one program per sampled step, so on CPU
+            # meshes we block on each step's loss before dispatching the
+            # next.  Real TPU runtimes order per-core program execution by
+            # dispatch order, so async pipelining stays on for TPU.
+            self._sync_per_step = all(
+                d.platform == "cpu" for d in mesh.devices.flat
             )
         self.model = model
         self.cfg = cfg
@@ -275,13 +319,20 @@ class SubgraphTrainer:
                 (node_ids, edges, edge_w, train_mask, node_w, queries, gq,
                  labels, n_nodes, qw) = item
                 key, sk = jax.random.split(key)
-                args = (
-                    jnp.asarray(node_ids), jnp.asarray(edges),
-                    jnp.asarray(edge_w), jnp.asarray(train_mask),
-                    jnp.asarray(node_w), jnp.asarray(queries),
-                    jnp.asarray(gq), jnp.asarray(labels),
-                    jnp.float32(n_nodes), jnp.asarray(qw), sk,
-                )
+                arrs = (node_ids, edges, edge_w, train_mask, node_w,
+                        queries, gq, labels)
+                if self._shardings is None:
+                    args = tuple(jnp.asarray(a) for a in arrs) + (
+                        jnp.float32(n_nodes), jnp.asarray(qw), sk)
+                else:
+                    sh = self._shardings
+                    args = tuple(
+                        jax.device_put(np.asarray(a), s)
+                        for a, s in zip(arrs, sh[:8])
+                    ) + (
+                        jax.device_put(np.float32(n_nodes), sh[8]),
+                        jax.device_put(np.asarray(qw), sh[9]), sk,
+                    )
                 if self._k_acc == 1:
                     params, opt_state, loss = self._step(
                         params, opt_state, *args)
@@ -292,6 +343,10 @@ class SubgraphTrainer:
                         params, opt_state, acc = self._apply_acc(
                             params, opt_state, acc)
                         n_pending = 0
+                if self._sync_per_step:
+                    # the loss buffer can be ready before the grad
+                    # all-reduces retire — block on the WHOLE step output
+                    jax.block_until_ready((params, opt_state, acc, loss))
                 losses.append(loss)
             if n_pending:  # epoch-end flush of a partial window
                 params, opt_state, acc = self._apply_acc(

@@ -426,10 +426,9 @@ def test_signed_ce_training_on_mesh_matches_single_device(data, setup):
 def _gnn_mesh_vs_single(dtype):
     """One CompGCN epoch single-device vs a (4,2) mesh; returns both pytrees.
 
-    Uses its own 48-entity KG: GNN entity tables are only row-sharded when
-    divisible — padding would shift the encoder's batch-norm statistics, so
-    shard_params(pad=False) replicates instead (see
-    test_gnn_odd_entities_replicates below)."""
+    Uses its own 48-entity KG (divisible by the model axis, so the tables
+    row-shard with NO pad rows — the pure GSPMD-parity baseline; the padded
+    odd-count case is test_gnn_odd_entities_row_shards below)."""
     data48 = synthetic_kg(n_entities=48, n_relations=4, n_train=256,
                           n_valid=32, n_test=32, seed=3)
     n_ent, n_rel, _ = data48.get_shape()
@@ -497,14 +496,14 @@ def test_gnn_training_on_mesh_matches_single_device_f64_exact():
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-12)
 
 
-def test_gnn_odd_entities_replicates(data):
-    """GNN models at an odd entity count: shard_params(pad=False) must fall
-    back to REPLICATING the entity tables (pad rows would corrupt full-graph
-    batch-norm statistics), and mesh training must still match
-    single-device."""
+def _gnn_odd_mesh_vs_single(data, dtype):
+    """One CompGCN epoch at odd N_ENT=49: single-device unpadded vs a (4,2)
+    mesh with DEFAULT shard_params (entity tables zero-padded to 52 and
+    row-SHARDED over 'model'; the encoder masks pad rows out of its BN
+    statistics).  Returns (p1, loss1, padded p2, loss2, mesh)."""
     n_ent, n_rel, _ = data.get_shape()
     cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
-                      multi_c=True, dtype="float32")
+                      multi_c=True, dtype=dtype)
 
     class _Args:
         hidden_dim = 8
@@ -528,15 +527,70 @@ def test_gnn_odd_entities_replicates(data):
         jax.tree.map(jnp.copy, params), trainer.tx.init(params), b, w, key
     )
     mesh = make_mesh((4, 2))
-    sp = shard_params(jax.tree.map(jnp.copy, params), mesh, pad=False)
-    assert sp["entity"].shape[0] == N_ENT  # replicated, NOT padded
-    assert sp["entity"].sharding.spec == ()
+    sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    assert sp["entity"].shape[0] == padded_rows(N_ENT, 2)  # padded
+    assert sp["entity"].sharding.spec[0] == "model"  # and row-SHARDED
     sb, sw, _ = shard_epoch_arrays(mesh, jnp.asarray(b), jnp.asarray(w))
     p2, _, loss2 = trainer.run_epoch(sp, trainer.tx.init(sp), sb, sw, key)
+    return p1, loss1, p2, loss2, mesh
 
+
+def test_gnn_odd_entities_row_shards(data):
+    """GNN training at an ODD entity count must row-shard the entity tables
+    (zero-padded; masked-BN keeps statistics over real rows only) and match
+    single-device unpadded training — the workload class that NEEDS >1 chip
+    (encoder table > HBM) gets real HBM scaling at real dataset entity
+    counts.  f32 band 3e-5: pure reassociation, same provenance as
+    test_gnn_training_on_mesh_matches_single_device (the f64 leg below is
+    the exactness guarantee)."""
+    p1, loss1, p2, loss2, mesh = _gnn_odd_mesh_vs_single(data, "float32")
     np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    for k in ("entity", "bh", "bt"):
+        assert not np.asarray(p2[k][N_ENT:]).any(), f"{k} pad rows drifted"
+    p2 = _unpad(p2, mesh)
+    for (k, a), (_, c) in zip(sorted(p1.items()), sorted(p2.items())):
+        if k == "gnn":
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(c)):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                           atol=3e-5)
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=3e-5, err_msg=k)
+
+
+def test_gnn_odd_entities_row_shards_f64_exact(data):
+    """f64 leg of the padded-GNN-sharding comparison: masked-BN over pad
+    rows is exact arithmetic (pad contributions are exact zeros), so any
+    real logic divergence shows up here at full magnitude."""
+    p1, loss1, p2, loss2, mesh = _gnn_odd_mesh_vs_single(data, "double")
+    np.testing.assert_allclose(loss1, loss2, rtol=0, atol=1e-12)
+    p2 = _unpad(p2, mesh)
     for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-11)
+
+
+def test_gnn_pad_false_still_replicates(data):
+    """pad=False remains the escape hatch: GNN entity tables at an odd
+    count are replicated, not padded."""
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, dtype="float32")
+
+    class _Args:
+        hidden_dim = 8
+        layers = 1
+        edge_dropout = 0.0
+        dropout = 0.0
+        opn = "mult"
+        interaction = "distmult"
+        basis = 0
+
+    model = get_model("CompGCN")(cfg, _Args(), data)
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh((4, 2))
+    sp = shard_params(params, mesh, pad=False)
+    assert sp["entity"].shape[0] == N_ENT  # replicated, NOT padded
+    assert sp["entity"].sharding.spec == ()
 
 
 def test_cli_with_mesh(tmp_path):
@@ -565,8 +619,10 @@ def test_cli_with_mesh(tmp_path):
 
 def test_cli_with_mesh_gnn(tmp_path):
     """Full CLI protocol for a GNN model with --mesh 4x2: encoder tables
-    replicated (odd entity count), eval routed through the entity-sharded
-    GNN ranker (make_best_sharded_ranker -> make_sharded_gnn_ranker)."""
+    zero-padded + row-sharded (odd entity count, masked-BN pad rows), eval
+    routed through the entity-sharded GNN ranker
+    (make_best_sharded_ranker -> make_sharded_gnn_ranker), and the written
+    checkpoint must carry canonical (unpadded) shapes."""
     from complexhyperbolickge_tpu.cli.run import build_parser, train
 
     args = build_parser().parse_args([
@@ -581,20 +637,143 @@ def test_cli_with_mesh_gnn(tmp_path):
     ])
     out = train(args)
     assert 0.0 <= out["test"]["MRR"] <= 1.0
+    from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint
+
+    st = load_checkpoint(str(tmp_path), device_put=False)
+    for k in ("entity", "bh", "bt"):
+        assert st["params"][k].shape[0] == 199, k  # canonical, not 200-padded
 
 
-def test_cli_subgraph_plus_mesh_refused(tmp_path):
-    """--subgraph trains single-device by design; combining it with --mesh
-    must fail loudly instead of silently dropping the model-axis sharding."""
+def _subgraph_mesh_vs_single(data, dtype):
+    """One subgraph-mode CompGCN epoch at odd N_ENT=49: single-device
+    unpadded vs a (4,2) mesh where the per-step QUERY arrays shard over
+    'data' and the entity tables are zero-padded + row-SHARDED over 'model'
+    (train/subgraph.py mesh support).  Same sampler stream (rng(7)), same
+    key splits; returns (p1, loss1, padded p2, loss2, mesh)."""
+    from complexhyperbolickge_tpu.train.subgraph import SubgraphTrainer
+
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, dtype=dtype)
+
+    class _Args:
+        hidden_dim = 8
+        layers = 1
+        edge_dropout = 0.0  # deterministic: key chains must line up
+        dropout = 0.0
+        opn = "mult"
+        interaction = "distmult"
+        basis = 0
+
+    # SGD, not Adam: subgraph steps leave un-sampled entity rows with
+    # EXACTLY zero gradient; mesh reassociation turns those zeros into
+    # +-ulp crumbs that Adam's |g| normalization amplifies to full-lr
+    # updates (the standing trajectory-parity trap, CLAUDE.md) — measured
+    # 6.8e-3 drift under Adam vs reassociation-scale under SGD.
+    model = get_model("CompGCN")(cfg, _Args(), data)
+    tcfg = TrainConfig(learning_rate=0.05, batch_size=32, neg_sample_size=0,
+                       loss="crossentropy", smoothing=0.1, optimizer="SGD")
+    params = model.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+
+    tr1 = SubgraphTrainer(model, tcfg, data, fanouts=(4, 4),
+                          max_nodes=64, max_edges=512)
+    p1, _, loss1 = tr1.run_epoch(
+        jax.tree.map(jnp.copy, params), tr1.tx.init(params), 32,
+        np.random.default_rng(7), key, epoch_id=0)
+
+    mesh = make_mesh((4, 2))
+    tr2 = SubgraphTrainer(model, tcfg, data, fanouts=(4, 4),
+                          max_nodes=64, max_edges=512, mesh=mesh)
+    sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    assert sp["entity"].shape[0] == padded_rows(N_ENT, 2)  # padded
+    assert sp["entity"].sharding.spec[0] == "model"  # and row-SHARDED
+    p2, _, loss2 = tr2.run_epoch(sp, tr2.tx.init(sp), 32,
+                                 np.random.default_rng(7), key, epoch_id=0)
+    return p1, loss1, p2, loss2, mesh
+
+
+def test_subgraph_training_on_mesh_matches_single_device(data):
+    """--subgraph composed with --mesh (VERDICT r03 item 4): the sampled
+    subgraph structure stays replicated while queries/labels shard over
+    'data' and the (padded) entity tables row-shard over 'model' — the
+    encoder-outgrows-one-chip workload gets both HBM scaling and data
+    parallelism.  f32 band 3e-5: same GSPMD-reassociation provenance as
+    test_gnn_training_on_mesh_matches_single_device (f64 leg below is the
+    exactness guarantee)."""
+    p1, loss1, p2, loss2, mesh = _subgraph_mesh_vs_single(data, "float32")
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    for k in ("entity", "bh", "bt"):
+        assert not np.asarray(p2[k][N_ENT:]).any(), f"{k} pad rows drifted"
+    p2 = _unpad(p2, mesh)
+    for (k, a), (_, c) in zip(sorted(p1.items()), sorted(p2.items())):
+        if k == "gnn":
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(c)):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                           atol=3e-5)
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=3e-5, err_msg=k)
+
+
+def test_subgraph_training_on_mesh_matches_single_device_f64_exact(data):
+    """f64 leg of the subgraph×mesh comparison: any real logic divergence
+    (mis-sharded query array, pad-row contamination, dropped psum) shows up
+    at full magnitude here while f32 reassociation noise vanishes."""
+    p1, loss1, p2, loss2, mesh = _subgraph_mesh_vs_single(data, "double")
+    np.testing.assert_allclose(loss1, loss2, rtol=0, atol=1e-12)
+    p2 = _unpad(p2, mesh)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-11)
+
+
+def test_subgraph_mesh_batch_divisibility_refused(data):
+    """A seed batch size that does not divide the mesh 'data' axis cannot
+    shard evenly; the trainer must refuse at construction, not mis-shard."""
+    from complexhyperbolickge_tpu.train.subgraph import SubgraphTrainer
+
+    n_ent, n_rel, _ = data.get_shape()
+    cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                      multi_c=True, dtype="float32")
+
+    class _Args:
+        hidden_dim = 8
+        layers = 1
+        edge_dropout = 0.0
+        dropout = 0.0
+        opn = "mult"
+        interaction = "distmult"
+        basis = 0
+
+    model = get_model("CompGCN")(cfg, _Args(), data)
+    tcfg = TrainConfig(batch_size=30, neg_sample_size=0, loss="crossentropy")
+    with pytest.raises(ValueError, match="data"):
+        SubgraphTrainer(model, tcfg, data, mesh=make_mesh((4, 2)))
+
+
+def test_cli_subgraph_with_mesh(tmp_path):
+    """--subgraph composes with --mesh end-to-end through the CLI (replaces
+    the r03 refusal): subgraph training on a 4x2 mesh with row-sharded
+    entity tables, sharded-ranker eval, canonical checkpoint shapes."""
     from complexhyperbolickge_tpu.cli.run import build_parser, train
+    from complexhyperbolickge_tpu.train.checkpoint import load_checkpoint
 
     args = build_parser().parse_args([
-        "--dataset", "synthetic", "--model", "CompGCN", "--rank", "8",
-        "--hidden_dim", "8", "--layers", "1", "--subgraph", "--mesh", "4x2",
-        "--max_epochs", "1", "--save_dir", str(tmp_path),
+        "--dataset", "synthetic", "--synthetic_entities", "199",
+        "--model", "CompGCN", "--rank", "8", "--hidden_dim", "8",
+        "--layers", "1", "--edge_dropout", "0.0", "--dropout", "0.0",
+        "--subgraph", "--mesh", "4x2",
+        "--max_epochs", "1", "--valid", "1", "--batch_size", "32",
+        "--eval_batch_size", "64", "--neg_sample_size", "0",
+        "--loss", "crossentropy",
+        "--optimizer", "Adam", "--learning_rate", "0.01", "--bias", "learn",
+        "--dtype", "float32", "--save_dir", str(tmp_path),
     ])
-    with pytest.raises(SystemExit, match="mutually exclusive"):
-        train(args)
+    out = train(args)
+    assert 0.0 <= out["test"]["MRR"] <= 1.0
+    st = load_checkpoint(str(tmp_path), device_put=False)
+    for k in ("entity", "bh", "bt"):
+        assert st["params"][k].shape[0] == 199, k  # canonical, not 200-padded
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (4, 2)])
