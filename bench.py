@@ -26,9 +26,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 BENCH_TUNNEL_WAIT_S (default 3600) for a subprocess probe to round-trip
 before measuring, so a transient relay outage at bench time doesn't lose
 the run.  Set BENCH_SECONDARY=0 to skip the secondary measurements
-(three extra compiles through the remote tunnel: per_query reference-
-semantics sampling, all-entity cross-entropy, and the batch-8000 scaling
-ceiling).
+(five extra compiles through the remote tunnel: per_query reference-
+semantics sampling, all-entity cross-entropy, whole-split filtered eval,
+full-graph CompGCN training, and the batch-8000 scaling ceiling).
 """
 
 from __future__ import annotations
@@ -121,7 +121,7 @@ def main():
     b = jnp.asarray(batches)
     w = jnp.asarray(weights)
 
-    def measure(tcfg, n_windows, bb=None, wb=None):
+    def measure(tcfg, n_windows, bb=None, wb=None, use_model=None):
         """Epoch 1 compiles; epochs 2+ measure steady state.  Median of
         timed windows: single-window readings swing ~±15% through the
         remote-compile tunnel.  run_epoch host-materializes the epoch loss
@@ -130,7 +130,8 @@ def main():
         bb = b if bb is None else bb
         wb = w if wb is None else wb
         n_tr = bb.shape[0] * bb.shape[1]
-        trainer = Trainer(model, tcfg, N_ENT, n_rel)
+        trainer = Trainer(model if use_model is None else use_model,
+                          tcfg, N_ENT, n_rel)
         params, opt_state = trainer.init(jax.random.PRNGKey(0))
         key = jax.random.PRNGKey(1)
         key, k0 = jax.random.split(key)
@@ -201,7 +202,10 @@ def main():
     # nothing below may lose it: a SIGALRM watchdog converts a wedged-tunnel
     # hang into an exception, and any secondary failure is recorded in the
     # tail instead of propagating (measured full run ~25 min nominal).
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    # five secondaries now (eval + GNN added round 4, verdict item 6): the
+    # default budget covers them at nominal tunnel latency; the per-item
+    # elapsed gate sheds from the tail (b8000 first) when compiles run long
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
     if os.environ.get("BENCH_SECONDARY", "1") != "0" \
             and time.perf_counter() - t_start < budget_s * 0.6:
         def _secondaries():
@@ -220,6 +224,76 @@ def main():
                                 regularizer="N3", reg=0.0,
                                 loss="crossentropy"),
                     n_windows=1,
+                ), 1)
+            if time.perf_counter() - t_start < budget_s:
+                # eval path (round-4 verdict item 6: driver-tracked eval
+                # number so a rank-program regression between rounds is
+                # visible).  Production form: whole-split scan-compiled
+                # filtered ranking (rank_many -> one dispatch per split)
+                # with the scatter-free dense ranker at WN18RR shapes.
+                from complexhyperbolickge_tpu.data.dataset import (
+                    EvalPack, dedup_filter_rows)
+                from complexhyperbolickge_tpu.train.evaluate import (
+                    get_ranking, make_ranker)
+
+                nq, lmax = 20000, 64
+                qs = np.stack(
+                    [rng.integers(0, N_ENT, nq), rng.integers(0, n_rel, nq),
+                     rng.integers(0, N_ENT, nq)], 1).astype(np.int32)
+                fs = rng.integers(0, N_ENT, (nq, lmax)).astype(np.int32)
+                fs[:, -1] = qs[:, 2]  # gold always filtered
+                fs = dedup_filter_rows(fs, N_ENT)
+                pack = EvalPack(queries=qs, filter_idx=fs)
+                eval_params, _ = Trainer(
+                    model,
+                    TrainConfig(optimizer="Adam", learning_rate=3e-4,
+                                batch_size=BATCH, neg_sample_size=NEG,
+                                regularizer="N3", reg=0.0),
+                    N_ENT, n_rel,
+                ).init(jax.random.PRNGKey(0))
+                rank_fn = make_ranker(model, BATCH)
+                # get_ranking returns host arrays: every trial is fenced
+                get_ranking(model, eval_params, pack, BATCH, rank_fn=rank_fn)
+                etr = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    get_ranking(model, eval_params, pack, BATCH,
+                                rank_fn=rank_fn)
+                    etr.append(nq / (time.perf_counter() - t0))
+                secondary["eval_queries_per_sec"] = round(
+                    float(np.median(etr)), 1)
+            if time.perf_counter() - t_start < budget_s:
+                # GNN path (verdict item 6): full-graph CompGCN training at
+                # WN18RR scale — the gnn_train_bench.py README-row config
+                # (hidden 200, 2 layers, ~174k edges re-encoded per step,
+                # b1000/neg50), truncated to 30 steps/epoch (per-step cost
+                # is batch-count-independent).
+                from complexhyperbolickge_tpu.data.dataset import synthetic_kg
+
+                class _GnnArgs:
+                    hidden_dim = 200
+                    layers = 2
+                    edge_dropout = 0.0
+                    dropout = 0.0
+                    opn = "mult"
+                    interaction = "distmult"
+                    basis = 0
+
+                gdata = synthetic_kg(n_entities=N_ENT, n_relations=N_REL_RAW,
+                                     n_train=86835, n_valid=500, n_test=500,
+                                     seed=0)
+                gmodel = get_model("CompGCN")(
+                    ModelConfig(n_entities=N_ENT, n_relations=n_rel, rank=32,
+                                multi_c=True, bias="learn", dtype="float32"),
+                    _GnnArgs, gdata)
+                gb, gw, _ = epoch_batches(gdata.get_examples("train"),
+                                          1000, rng)
+                gb, gw = jnp.asarray(gb[:30]), jnp.asarray(gw[:30])
+                secondary["gnn_train_triples_per_sec"] = round(measure(
+                    TrainConfig(optimizer="Adam", learning_rate=1e-3,
+                                batch_size=1000, neg_sample_size=50,
+                                regularizer="N3", reg=0.0),
+                    n_windows=1, bb=gb, wb=gw, use_model=gmodel,
                 ), 1)
             if time.perf_counter() - t_start < budget_s:
                 # batch-scaling headroom: the b500 step sits at its ~0.35 ms

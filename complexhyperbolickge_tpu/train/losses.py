@@ -236,10 +236,10 @@ def cross_entropy_loss(model, params, batch, weights, smoothing: float | None,
 
 def dense_labels(label_idx, n_entities: int, dtype):
     """Padded true-tail index lists (B, L) -> multi-hot (B, N); pad value
-    n_entities is dropped by the scatter.  No longer on the training path
-    (bce_loss gathers at the label indices instead of materializing the
-    multi-hot); kept as the explicit dense form for parity tests against
-    the reference's KGDataset2 label matrices."""
+    n_entities is dropped by the scatter.  The explicit unpadded-width dense
+    form for parity tests against the reference's KGDataset2 label matrices
+    (bce_loss builds its own multi-hot over the possibly-padded preds
+    width)."""
     b = label_idx.shape[0]
     lab = jnp.zeros((b, n_entities), dtype=dtype)
     rows = jnp.arange(b)[:, None]
@@ -251,40 +251,39 @@ def bce_loss(model, params, batch, weights, label_idx, n_entities: int,
     """BCE(sigmoid(preds), smoothed multi-hot labels) (kg_optimizer.py:155-162),
     computed in log-space for stability.
 
-    Factored label-gather form: with y = (1-eps)*y0 + eps/N (y0 multi-hot),
-        -(y log_p + (1-y) log_1mp)
-      =  -(eps/N) log_p - (1 - eps/N) log_1mp          [label-independent]
-         - (1-eps) * y0 * (log_p - log_1mp)            [labels only]
-    so the (B, N) term is a dense elementwise reduce XLA fuses into the
-    score chain, and the label term is a (B, Lw) gather of (log_p - log_1mp)
-    at the padded label indices — no (B, N) multi-hot scatter, no extra
-    (B, N) multiply passes.  The eval packs guarantee label rows are
-    deduplicated (data/dataset.py::label_pack), so the gathered sum equals
-    the multi-hot dot product exactly (up to summation order)."""
+    Dense multi-hot form: scatter the padded label lists into a (B, N)
+    multi-hot and take the elementwise BCE against it.  A factored
+    label-GATHER form (dense label-independent reduce + a (B, Lw)
+    take_along_axis of log_p - log_1mp) was built in r03 and measured
+    SLOWER at the trainer level on v5e (105k vs 119k triples/s at
+    b500 x 40,943, 2026-08-19): the per-row gather + its scatter-add VJP
+    lose to the dense scatter+multiply passes XLA fuses into the score
+    chain — the same per-row-gather-loses lesson as the pooled-negative
+    window (CLAUDE.md ledger).  The shared-softplus identity
+    (logsig(-x) = logsig(x) - x, exact) is kept: one softplus pass over
+    the (B, N) matrix instead of two."""
     queries = batch[:, :2]
     preds = model.score_all(params, queries)  # (B, N) — or (B, Np) padded
     factors = model.get_factors(params, queries, None)
     valid = _pad_col_mask(preds, n_entities)
     eps = 0.0 if smoothing is None else smoothing
+    # multi-hot over the PADDED width: pad label ids (= n_entities) would be
+    # a real column when Np > n_entities, so scatter lab_ok (0 at pads) with
+    # max — pads and duplicate rows are both no-ops
+    rows = jnp.arange(label_idx.shape[0])[:, None]
+    lab_ok = (label_idx < n_entities).astype(preds.dtype)
+    idx = jnp.minimum(label_idx, preds.shape[-1] - 1)
+    y = jnp.zeros_like(preds).at[rows, idx].max(lab_ok)
+    y = (1.0 - eps) * y + eps / n_entities
     # BCE = -(y log sigma + (1-y) log(1-sigma)); torch.nn.BCELoss clamps each
     # log term at -100 (the reference's effective semantics) — mirrored here.
-    # logsig(-x) = logsig(x) - x (exact): ONE softplus pass over (B, N)
-    # instead of two — the CE/BCE steps are VPU-transcendental-bound
-    # (CLAUDE.md perf ledger), so halving the softplus work matters.
     ls = _logsigmoid(preds)
     log_p = jnp.maximum(ls, -100.0)
     log_1mp = jnp.maximum(ls - preds, -100.0)
-    dense = -((eps / n_entities) * log_p + (1.0 - eps / n_entities) * log_1mp)
+    per = -(y * log_p + (1.0 - y) * log_1mp)
     if valid is not None:
-        dense = jnp.where(valid, dense, 0.0)
-    w = weights[:, None]
-    total = jnp.sum(w * dense)
-    # label gather: pad ids (= n_entities) clamp to a real/pad column but are
-    # masked out of the sum, so the clamped value never contributes
-    lab_ok = (label_idx < n_entities).astype(preds.dtype)
-    idx = jnp.minimum(label_idx, preds.shape[-1] - 1)
-    bump = jnp.take_along_axis(log_p - log_1mp, idx, axis=1)
-    total = total - (1.0 - eps) * jnp.sum(w * lab_ok * bump)
+        per = jnp.where(valid, per, 0.0)
+    total = jnp.sum(weights[:, None] * per)
     return total / (jnp.sum(weights) * n_entities), factors
 
 
