@@ -99,6 +99,22 @@ def main():
     print(f"Pallas fused:      {p_qps:,.0f} queries/s  ({p_qps / d_qps:.2f}x) "
           f"(trials {', '.join(f'{x/1e3:,.0f}k' for x in p_trials)})")
 
+    # maskless subtract-filtered kernel (round-4 exact form: the filtered
+    # scores now come from the SAME 2-D contraction form as the tile
+    # kernel, so ranks should be IDENTICAL to the masked kernel — the old
+    # batched-dot subtraction tied-and-shifted ~2% of queries by +-1)
+    if os.environ.get("EVAL_BENCH_MASKLESS", "1") != "0":
+        maskless = make_pallas_ranker(model, B, masked=False)
+        r3 = np.asarray(maskless(params, jq, jf))
+        n_same = int((r2 == r3).sum())
+        print(f"maskless vs masked kernel: identical ranks {n_same}/{B}, "
+              f"max |diff| {np.abs(r3 - r2).max():.0f}")
+        m_trials = [bench(maskless) for _ in range(5)]
+        m_qps = float(np.median(m_trials))
+        print(f"Pallas maskless:   {m_qps:,.0f} queries/s  "
+              f"({m_qps / d_qps:.2f}x dense) "
+              f"(trials {', '.join(f'{x/1e3:,.0f}k' for x in m_trials)})")
+
     # production path: whole-split scan-compiled ranking (one dispatch per
     # split via rank_many) — this is what compute_metrics actually runs
     from complexhyperbolickge_tpu.data.dataset import EvalPack
@@ -111,7 +127,10 @@ def main():
     fs[:, -1] = qs[:, 2]
     fs = dedup_filter_rows(fs, N_ENT)
     pack = EvalPack(queries=qs, filter_idx=fs)
-    for label, fn in (("dense", dense), ("pallas", pallas)):
+    split_arms = [("dense", dense), ("pallas", pallas)]
+    if os.environ.get("EVAL_BENCH_MASKLESS", "1") != "0":
+        split_arms.append(("pallas-maskless", maskless))
+    for label, fn in split_arms:
         get_ranking(model, params, pack, B, rank_fn=fn)  # compile
         trials = []
         for _ in range(3):

@@ -110,11 +110,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from save_dir's checkpoint")
     p.add_argument("--eval_backend", default="auto",
-                   choices=["auto", "dense", "pallas"],
+                   choices=["auto", "dense", "pallas", "pallas_maskless"],
                    help="ranking path: auto/dense = scatter-free dense XLA "
-                        "(fastest-or-equal at every measured scale); pallas "
-                        "= the fused VMEM-resident kernel (loud failure if "
-                        "it cannot build)")
+                        "(exact tie semantics at every scale); pallas = the "
+                        "fused VMEM-resident kernel (loud failure if it "
+                        "cannot build); pallas_maskless (CHYP family) = "
+                        "subtract-filtered fused kernel, the fastest "
+                        "measured path at large N (1.23x dense at YAGO "
+                        "scale) at the cost of +-1 rank on exact f32 score "
+                        "ties")
     p.add_argument("--eval_precision", default="highest",
                    choices=["highest", "default"],
                    help="eval score-matmul MXU precision, all backends: "

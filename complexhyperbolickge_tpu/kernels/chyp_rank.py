@@ -155,11 +155,20 @@ def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, *,
     """Counts #{non-filtered entities with score >= t2} per query, WITHOUT a
     dense (B, N) mask: the kernel counts every entity over the padded table
     (pad rows carry bt = -1e30, unreachable), and the filtered entities'
-    scores are recomputed pairwise with the SAME dot_general arithmetic and
-    subtracted.  fidx rows must be DEDUPLICATED (data/dataset.py::eval_pack
-    guarantees it); pad value >= n_entities lands on a pad row and
-    self-excludes.  Saves ~2 x B x N bytes of mask build+stream per batch
-    (62 MB/batch at YAGO3-10 scale)."""
+    scores are recomputed with the SAME 2-D dot_general form the tile kernel
+    uses and subtracted.  fidx rows must be DEDUPLICATED
+    (data/dataset.py::eval_pack guarantees it); pad value >= n_entities
+    lands on a pad row and self-excludes.  Saves ~2 x B x N bytes of mask
+    build+stream per batch (62 MB/batch at YAGO3-10 scale).
+
+    Tie exactness: the original subtraction used a BATCHED dot_general
+    ((B,2,Dp) x (B,L,Dp)), which rounds differently on the MXU than the
+    tile's plain 2-D contraction — ~2% of queries shifted +-1 rank on exact
+    score ties.  The flat form below contracts (2G, Dp) x (G*L, Dp) with
+    the tile's exact dimension_numbers/precision and takes the per-query
+    diagonal blocks, chunked over queries (G <= 64) so the cross-query
+    product stays ~2 MB instead of a (2B, B*L) 128 MB materialization; the
+    wasted off-diagonal FLOPs are ~4% of the main sweep's at YAGO shapes."""
     b2, dp = lhs2.shape
     b = b2 // 2
     np_, _ = rhs_pad.shape
@@ -182,26 +191,51 @@ def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, *,
         interpret=interpret,
     )(lhs2, znorm, t2, rhs_pad, bt_row)[0]
 
-    # filtered subtraction: pairwise scores with identical contraction
-    f = jnp.minimum(fidx.astype(jnp.int32), np_ - 1)
-    rows = rhs_pad[f]  # (B, L, Dp); pad ids -> zero pad rows (bt -1e30)
-    lhs_pair = jnp.stack([lhs2[:b], lhs2[b:]], axis=1)  # (B, 2, Dp)
-    acc = jax.lax.dot_general(
-        lhs_pair, rows,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=_PRECISIONS[precision],
-    )  # (B, 2, L)
-    sr = acc[:, 0, :] - 1.0
-    si = acc[:, 1, :]
-    wnorm = jnp.clip(jnp.sum(rows * rows, axis=-1) - 1.0, -1.0, -eps)  # (B, L)
-    x = 2.0 * (sr * sr + si * si) / (znorm * wnorm) - 1.0
-    x = jnp.maximum(x, 1.0 + eps)
-    dist = jnp.log(x + jnp.sqrt(x * x - 1.0))
-    score_f = bt_row[0, f] - dist * dist  # (B, L)
-    count_f = jnp.sum(
-        jnp.where(score_f >= t2, jnp.float32(1.0), jnp.float32(0.0)), axis=1
-    )
+    # filtered subtraction: flat same-form contraction, chunked over queries
+    f = jnp.minimum(fidx.astype(jnp.int32), np_ - 1)  # (B, L)
+    l = f.shape[1]
+    g = min(b, 64)
+    bp = round_up(b, g)
+    if bp != b:  # pad queries; padded rows' counts are sliced away below
+        f = jnp.concatenate(
+            [f, jnp.full((bp - b, l), np_ - 1, jnp.int32)], axis=0)
+    lhs_re = jnp.concatenate([lhs2[:b], jnp.zeros((bp - b, dp), lhs2.dtype)])
+    lhs_im = jnp.concatenate([lhs2[b:], jnp.zeros((bp - b, dp), lhs2.dtype)])
+    zn_p = jnp.concatenate([znorm, jnp.full((bp - b, 1), -1.0, znorm.dtype)])
+    t2_p = jnp.concatenate([t2, jnp.zeros((bp - b, 1), t2.dtype)])
+    diag = jnp.arange(g)
+
+    def chunk_counts(args):
+        fre, fim, fc, znc, t2c = args  # (G,Dp) (G,Dp) (G,L) (G,1) (G,1)
+        rows = rhs_pad[fc.reshape(-1)]  # (G*L, Dp)
+        lhs_gl = jnp.concatenate([fre, fim], axis=0)  # (2G, Dp)
+        acc = jax.lax.dot_general(
+            lhs_gl, rows,
+            dimension_numbers=(((1,), (1,)), ((), ())),  # == tile kernel form
+            preferred_element_type=jnp.float32,
+            precision=_PRECISIONS[precision],
+        )  # (2G, G*L)
+        acc = acc.reshape(2 * g, g, l)
+        sr = acc[:g][diag, diag] - 1.0  # (G, L) per-query diagonal block
+        si = acc[g:][diag, diag]
+        wnorm = jnp.clip(
+            jnp.sum(rows * rows, axis=-1).reshape(g, l) - 1.0, -1.0, -eps)
+        x = 2.0 * (sr * sr + si * si) / (znc * wnorm) - 1.0
+        x = jnp.maximum(x, 1.0 + eps)
+        dist = jnp.log(x + jnp.sqrt(x * x - 1.0))
+        score_f = bt_row[0, fc] - dist * dist  # (G, L)
+        return jnp.sum(
+            jnp.where(score_f >= t2c, jnp.float32(1.0), jnp.float32(0.0)),
+            axis=1,
+        )
+
+    nchunk = bp // g
+    count_f = jax.lax.map(
+        chunk_counts,
+        (lhs_re.reshape(nchunk, g, dp), lhs_im.reshape(nchunk, g, dp),
+         f.reshape(nchunk, g, l), zn_p.reshape(nchunk, g, 1),
+         t2_p.reshape(nchunk, g, 1)),
+    ).reshape(bp)[:b]
     return counts - count_f
 
 

@@ -189,7 +189,7 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
     ops/math.py::eval_matmul_precision — most relevant for GNN eval, whose
     distmult decoder sweep is a pure MXU matmul.
     """
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_maskless"):
         from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
         from complexhyperbolickge_tpu.models.hyperbolic import (
             AttRH,
@@ -205,9 +205,25 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
         if isinstance(model, FFTUnitBall):
             from complexhyperbolickge_tpu.kernels import make_pallas_ranker
 
+            # 'pallas_maskless' (CHYP family): subtract-filtered counting
+            # with NO (B, N) mask build/stream — measured 1.23x the dense
+            # ranker at YAGO scale and 1.09x at WN18RR (2026-08-19,
+            # benchmarks/eval_bench.py).  Costs +-1 rank on exact f32
+            # score ties (~like-for-like MXU rounding between the tile
+            # sweep and the flat filtered-score recomputation); the exact
+            # in-kernel subtraction would add ~B*L/N extra tile work
+            # (+79% at WN18RR), erasing the win — see PERF_ANALYSIS §2b.
             return make_pallas_ranker(model, eval_batch_size,
                                       interpret=not on_tpu,
-                                      precision=precision)
+                                      precision=precision,
+                                      masked=backend != "pallas_maskless")
+        if backend == "pallas_maskless":
+            import logging
+
+            logging.warning(
+                "backend='pallas_maskless' is CHYP-family only; %s gets "
+                "the masked fused kernel", type(model).__name__,
+            )
         if isinstance(model, AttRH):
             from complexhyperbolickge_tpu.kernels import (
                 make_pallas_attrh_ranker,

@@ -192,6 +192,22 @@ def test_best_ranker_selects_pallas_when_forced():
                       PallasHypRanker)
 
 
+def test_best_ranker_pallas_maskless_policy():
+    """backend='pallas_maskless' (CHYP family): the subtract-filtered fused
+    kernel — masked=False, the fastest measured eval path at YAGO scale
+    (benchmarks/eval_bench.py, round 4).  Non-CHYP families fall back to
+    their masked fused kernel (no maskless variant exists for them)."""
+    from complexhyperbolickge_tpu.kernels.chyp_rank import PallasChypRanker
+    from complexhyperbolickge_tpu.kernels.hyp_rank import PallasHypRanker
+    from complexhyperbolickge_tpu.train.evaluate import make_best_ranker
+
+    r = make_best_ranker(_tiny_model("FFTRotH"), 8, "pallas_maskless")
+    assert isinstance(r, PallasChypRanker) and r.masked is False
+    assert isinstance(
+        make_best_ranker(_tiny_model("RotH", 8), 8, "pallas_maskless"),
+        PallasHypRanker)
+
+
 def test_best_ranker_auto_policy(monkeypatch):
     """backend='auto' (and 'dense') must return the scatter-free dense
     ranker everywhere: it measures within noise of the fused kernels at
