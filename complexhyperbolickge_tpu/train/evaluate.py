@@ -169,13 +169,16 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
     """Ranking-backend selector.
 
     backend='auto' (and 'dense') returns the scatter-free dense XLA ranker:
-    with filtering done by count subtraction it measures within noise of
-    the fused Pallas kernels at WN18RR scale (~224k vs ~219k q/s per-batch)
-    and 1.2x FASTER at YAGO scale (117k vs 96k — the masked kernel streams
+    the fastest EXACT-tie-semantics path at every measured scale — within
+    noise of the masked fused kernels at WN18RR (~200-224k q/s per-batch)
+    and 1.2x ahead at YAGO (121-127k vs 96-103k: the masked kernel streams
     a (B, N) int8 filter mask that grows with N), benchmarks/eval_bench.py.
-    Until the dense path's filter scatter was eliminated the kernels were
-    1.6-1.7x ahead; they remain available (backend='pallas', every
-    hyperbolic family) as the VMEM-resident form and as a cross-check.
+    The round-4 'pallas_maskless' kernel beats dense outright (1.09x
+    WN18RR, 1.26x/1.38x-scan YAGO) but costs +-1 rank on exact f32 score
+    ties, so 'auto' deliberately does NOT select it — exactness wins by
+    default and the throughput mode stays opt-in.  The masked kernels
+    remain available (backend='pallas', every hyperbolic family) as the
+    VMEM-resident form and as a cross-check.
 
     A failure to build a forced Pallas path is LOUD: backend='pallas'
     re-raises (a silent fallback would hide kernel rot).
