@@ -149,8 +149,8 @@ def chyp_rank_counts(lhs2, znorm, t2, rhs_pad, bt_row, mask, *, tile_n: int = 51
 
 @functools.partial(jax.jit,
                    static_argnames=("tile_n", "interpret", "precision"))
-def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, *,
-                            tile_n: int = 512, interpret: bool = False,
+def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, f_ok=None,
+                            *, tile_n: int = 512, interpret: bool = False,
                             precision: str = "highest"):
     """Counts #{non-filtered entities with score >= t2} per query, WITHOUT a
     dense (B, N) mask: the kernel counts every entity over the padded table
@@ -158,8 +158,12 @@ def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, *,
     scores are recomputed with the SAME 2-D dot_general form the tile kernel
     uses and subtracted.  fidx rows must be DEDUPLICATED
     (data/dataset.py::eval_pack guarantees it); pad value >= n_entities
-    lands on a pad row and self-excludes.  Saves ~2 x B x N bytes of mask
-    build+stream per batch (62 MB/batch at YAGO3-10 scale).
+    lands on a pad row and self-excludes.  f_ok (optional (B, L) bool/0-1):
+    explicit per-slot validity for callers whose table slice has no
+    guaranteed pad row to absorb remapped ids — the sharded ranker maps
+    other shards' filter ids to row 0 with f_ok=0 (parallel/ranking.py).
+    Saves ~2 x B x N bytes of mask build+stream per batch (62 MB/batch at
+    YAGO3-10 scale).
 
     Tie exactness: the original subtraction used a BATCHED dot_general
     ((B,2,Dp) x (B,L,Dp)), which rounds differently on the MXU than the
@@ -194,11 +198,14 @@ def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, *,
     # filtered subtraction: flat same-form contraction, chunked over queries
     f = jnp.minimum(fidx.astype(jnp.int32), np_ - 1)  # (B, L)
     l = f.shape[1]
+    ok = (jnp.ones(f.shape, jnp.float32) if f_ok is None
+          else f_ok.astype(jnp.float32))
     g = min(b, 64)
     bp = round_up(b, g)
     if bp != b:  # pad queries; padded rows' counts are sliced away below
         f = jnp.concatenate(
             [f, jnp.full((bp - b, l), np_ - 1, jnp.int32)], axis=0)
+        ok = jnp.concatenate([ok, jnp.zeros((bp - b, l), jnp.float32)], axis=0)
     lhs_re = jnp.concatenate([lhs2[:b], jnp.zeros((bp - b, dp), lhs2.dtype)])
     lhs_im = jnp.concatenate([lhs2[b:], jnp.zeros((bp - b, dp), lhs2.dtype)])
     zn_p = jnp.concatenate([znorm, jnp.full((bp - b, 1), -1.0, znorm.dtype)])
@@ -206,7 +213,7 @@ def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, *,
     diag = jnp.arange(g)
 
     def chunk_counts(args):
-        fre, fim, fc, znc, t2c = args  # (G,Dp) (G,Dp) (G,L) (G,1) (G,1)
+        fre, fim, fc, okc, znc, t2c = args  # (G,Dp) (G,Dp) (G,L) (G,L) (G,1) (G,1)
         rows = rhs_pad[fc.reshape(-1)]  # (G*L, Dp)
         lhs_gl = jnp.concatenate([fre, fim], axis=0)  # (2G, Dp)
         acc = jax.lax.dot_general(
@@ -225,16 +232,15 @@ def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, *,
         dist = jnp.log(x + jnp.sqrt(x * x - 1.0))
         score_f = bt_row[0, fc] - dist * dist  # (G, L)
         return jnp.sum(
-            jnp.where(score_f >= t2c, jnp.float32(1.0), jnp.float32(0.0)),
-            axis=1,
+            jnp.where(score_f >= t2c, okc, jnp.float32(0.0)), axis=1,
         )
 
     nchunk = bp // g
     count_f = jax.lax.map(
         chunk_counts,
         (lhs_re.reshape(nchunk, g, dp), lhs_im.reshape(nchunk, g, dp),
-         f.reshape(nchunk, g, l), zn_p.reshape(nchunk, g, 1),
-         t2_p.reshape(nchunk, g, 1)),
+         f.reshape(nchunk, g, l), ok.reshape(nchunk, g, l),
+         zn_p.reshape(nchunk, g, 1), t2_p.reshape(nchunk, g, 1)),
     ).reshape(bp)[:b]
     return counts - count_f
 

@@ -304,7 +304,8 @@ def make_sharded_gnn_ranker(model, mesh, n_entities: int,
 
 def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
                                interpret: bool = False,
-                               precision: str = "highest"):
+                               precision: str = "highest",
+                               masked: bool = True):
     """Entity-sharded ranking with the FUSED Pallas tile kernel per shard.
 
     Each model-axis shard sweeps its LOCAL slice of the entity table with
@@ -320,8 +321,17 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
     Hermitian form).  Ranks are exactly the single-device Pallas masked
     ranker's: the per-tile contraction is identical, counts are
     order-independent sums.
+
+    masked=False: the subtract-filtered form (chyp_rank_counts_nomask) per
+    shard — no (B, local_np) mask build/stream; each shard subtracts only
+    the filter ids it OWNS (others remap to row 0 with f_ok=0), so the
+    psum total matches.  Same throughput rationale and +-1-rank tie caveat
+    as the single-device maskless ranker (train/evaluate.py docstring).
     """
-    from complexhyperbolickge_tpu.kernels.chyp_rank import chyp_rank_counts
+    from complexhyperbolickge_tpu.kernels.chyp_rank import (
+        chyp_rank_counts,
+        chyp_rank_counts_nomask,
+    )
     from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
     from complexhyperbolickge_tpu.ops.chyperbolic import chyp_distance, swap_neg
     from complexhyperbolickge_tpu.ops.math import ball_eps, round_up
@@ -373,12 +383,27 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
         if model.cfg.bias == "learn":
             t2 = t2 + _psum_gold_bias(bt_local, q[:, 2], lo, local_np)[:, None]
 
-        mask = _local_pad_filter_mask(fidx, lo, local_np, n_entities, b)
-        counts = chyp_rank_counts(
-            lhs2, znorm, t2, rhs_local, bt_local, mask,
-            tile_n=tile_n, interpret=interpret,
-            precision=precision,
-        )
+        if masked:
+            mask = _local_pad_filter_mask(fidx, lo, local_np, n_entities, b)
+            counts = chyp_rank_counts(
+                lhs2, znorm, t2, rhs_local, bt_local, mask,
+                tile_n=tile_n, interpret=interpret,
+                precision=precision,
+            )
+        else:
+            # subtract-filtered per shard: remap owned filter ids to local
+            # rows; non-owned (incl. pad ids) -> row 0 with f_ok=0 (this
+            # shard's slice has no guaranteed pad row to absorb them — the
+            # kernel's bt=-1e30 trick only covers the LAST shard)
+            f = fidx.astype(jnp.int32)
+            owns = (f >= lo) & (f < lo + local_np) & (f < n_entities)
+            f_local = jnp.where(owns, f - lo, 0)
+            counts = chyp_rank_counts_nomask(
+                lhs2, znorm, t2, rhs_local, bt_local, f_local,
+                owns.astype(jnp.float32),
+                tile_n=tile_n, interpret=interpret,
+                precision=precision,
+            )
         # t2*0: NaN discipline (see kernels/chyp_rank.py::_rank_one)
         return (1.0 + jax.lax.psum(counts, axis_name="model")
                 + (t2[:, 0] * 0.0).astype(jnp.float32))
@@ -639,7 +664,10 @@ def make_best_sharded_ranker(model, mesh, n_entities: int,
     backend='auto'/'dense' -> the scatter-free dense shard_map ranker
     (fastest-or-equal at every measured scale — see make_best_ranker);
     backend='pallas' -> the fused kernel per shard for every hyperbolic
-    family (interpret mode off-TPU), failing LOUDLY if it cannot build.
+    family (interpret mode off-TPU), failing LOUDLY if it cannot build;
+    backend='pallas_maskless' (CHYP family) -> the per-shard
+    subtract-filtered kernel (same speed/tie trade as the single-device
+    maskless ranker; non-CHYP families fall back to their masked kernel).
     precision: MXU contraction mode for the score matmuls on EVERY path
     (see make_best_ranker) — "highest" = exact 6-pass f32 (default),
     "default" = 1-pass bf16."""
@@ -648,7 +676,7 @@ def make_best_sharded_ranker(model, mesh, n_entities: int,
         # kernel — the decoder sweep is a plain MXU matmul XLA tiles well)
         return make_sharded_gnn_ranker(model, mesh, n_entities,
                                        precision=precision)
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_maskless"):
         from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
         from complexhyperbolickge_tpu.models.hyperbolic import (
             AttRH,
@@ -662,6 +690,7 @@ def make_best_sharded_ranker(model, mesh, n_entities: int,
             return make_sharded_pallas_ranker(
                 model, mesh, n_entities, interpret=not on_tpu,
                 precision=precision,
+                masked=backend != "pallas_maskless",
             )
         if isinstance(model, AttRH):
             return make_sharded_attrh_ranker(

@@ -796,6 +796,28 @@ def test_sharded_pallas_ranker_matches_dense(data, setup, mesh_shape):
     np.testing.assert_array_equal(r, dense_ranks)
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_sharded_pallas_maskless_ranker_matches_dense(data, setup, mesh_shape):
+    """masked=False per shard (subtract-filtered counting, round 4): each
+    shard subtracts only the filter ids it OWNS (others remapped to row 0
+    with f_ok=0) and the count psum must reproduce dense filtered ranks —
+    exactly on CPU, where the flat subtraction contraction is bitwise (the
+    on-chip +-1 MXU tie caveat is the single-device maskless one)."""
+    from complexhyperbolickge_tpu.parallel import make_sharded_pallas_ranker
+
+    model, params = setup
+    mesh = make_mesh(mesh_shape)
+    pack = data.eval_pack("test", "rhs")
+    dense_ranks = get_ranking(model, params, pack, batch_size=16)
+
+    ranker = make_sharded_pallas_ranker(model, mesh, N_ENT, tile_n=8,
+                                        interpret=True, masked=False)
+    sp = shard_params(params, mesh)
+    r = np.asarray(ranker(sp, jnp.asarray(pack.queries),
+                          jnp.asarray(pack.filter_idx)))
+    np.testing.assert_array_equal(r, dense_ranks)
+
+
 def test_sharded_pallas_ranker_precision_default_matches_on_cpu(data, setup):
     """precision='default' threads through the sharded fused ranker (CPU
     DEFAULT==HIGHEST numerically, so ranks are exactly equal — pins the
