@@ -1,0 +1,124 @@
+"""Dress rehearsal of the real-dataset MRR gate (round-4 verdict item 5).
+
+The gate file (tests/test_realdata_gate.py) had only ever been
+smoke-verified: the zero-egress image has no WN18RR pickles, so its own
+code path — raw-file preprocessing, BOTH training legs (our CLI + the
+executed reference under the published protocol, run.py:215-270), the
+patience/valid model-selection loop, and the 0.5-pt MRR assertion — had
+never executed end to end at gate scale.  This test runs the gate file
+UNMODIFIED on generated reference-FORMAT data:
+
+1. synthesize a structured KG (permutation relations — perfectly
+   learnable, so both stacks' best-valid model selection converges to the
+   same filtered-MRR plateau) as raw tab-separated string triples,
+2. preprocess it with our kge-preprocess pipeline (data/preprocess.py —
+   the same artifact layout the reference's datasets/process.py writes),
+3. run `pytest tests/test_realdata_gate.py` in a subprocess with
+   DATA_PATH pointing at the generated pickles and MRR_GATE_EPOCHS
+   bounding the horizon (the gate's patience loop self-terminates ~150
+   epochs after the plateau).
+
+The real-data run on actual WN18RR remains the standing obligation
+(BASELINE.md); this proves the gate machinery itself.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from complexhyperbolickge_tpu.data.preprocess import process_dataset
+
+# ~65 min of CPU (the torch-f64 reference leg dominates: ~55 min to its
+# ~epoch-265 early stop): opt-in like the realdata gate itself.
+# RUN_REHEARSAL=1 python -m pytest tests/test_mrr_gate_rehearsal.py -v -s
+# Executed + PASSING 2026-08-19: ours MRR=1.0000, reference MRR=1.0000
+# (both saturate; |diff| = 0 < the 0.005 gate band; 1:05:31 wall).
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        os.environ.get("RUN_REHEARSAL", "0") != "1",
+        reason="gate dress rehearsal is opt-in (RUN_REHEARSAL=1): "
+               "~65 min CPU for both training legs",
+    ),
+]
+
+# Mid-size structured KG: permutation relations over N_ENT entities.  The
+# gate's protocol is FIXED (rank 33, batch 500, neg 100, Adam lr 3e-4 from
+# a 0.001-scale init, valid every 5, patience 30) — only the epoch horizon
+# is tunable — so the KG must satisfy a measured constraint: Adam needs
+# ~1-3k steps just to grow embeddings from the 0.001 init to signal scale
+# (|Δparam| <= lr per step), and the patience window is 150 epochs, so
+# the KG must supply >= ~20 steps/epoch or early stopping fires at chance
+# during the warm-up (a 200-entity/6-relation probe with 2 steps/epoch
+# early-stopped at MRR 0.02, 2026-08-19).  20 relations x 800 entities
+# -> 16k triples, 24 steps/epoch: onset ~epoch 40, patience-safe.
+# Measured trajectory (ours leg, 2026-08-19): valid MRR 1.000 by epoch
+# ~110, so both stacks' best-valid model selection converges to the SAME
+# saturated plateau and the gate's 0.5-pt assertion is robust; patience
+# (30 evals x 5) self-terminates ~epoch 265 — 400 is headroom.
+N_ENT, N_REL = 800, 20
+EPOCHS = int(os.environ.get("REHEARSAL_EPOCHS", "400"))
+
+
+def write_raw_dataset(root: str) -> None:
+    """Reference-format raw files: {train,valid,test} of tab-separated
+    string triples under <root>/WN18RR (the gate hardcodes the dataset
+    name; format per reference datasets/process.py:10-53)."""
+    rng = np.random.default_rng(7)
+    offsets = rng.choice(np.arange(1, N_ENT), size=N_REL, replace=False)
+    triples = [
+        (i, k, (i + int(off)) % N_ENT)
+        for k, off in enumerate(offsets)
+        for i in range(N_ENT)
+    ]
+    triples = np.asarray(triples, dtype=np.int64)
+    triples = triples[rng.permutation(len(triples))]
+    n_eval = len(triples) // 12
+    splits = {
+        "valid": triples[:n_eval],
+        "test": triples[n_eval: 2 * n_eval],
+        "train": triples[2 * n_eval:],
+    }
+    ds = os.path.join(root, "WN18RR")
+    os.makedirs(ds, exist_ok=True)
+    for name, arr in splits.items():
+        with open(os.path.join(ds, name), "w") as f:
+            for h, r, t in arr:
+                f.write(f"/c/en/ent_{h:05d}\t_rel_{r}\t/c/en/ent_{t:05d}\n")
+
+
+def test_gate_file_runs_on_generated_pickles(tmp_path):
+    data_path = str(tmp_path / "data")
+    write_raw_dataset(data_path)
+    # our preprocessing pipeline -> the pickle artifacts the gate requires
+    examples, filters = process_dataset(os.path.join(data_path, "WN18RR"))
+    assert examples["train"].shape[1] == 3
+    assert len(filters["rhs"]) > 0
+
+    env = dict(os.environ)
+    env.update(
+        DATA_PATH=data_path,
+        MRR_GATE_EPOCHS=str(EPOCHS),
+        # the subprocess collects tests/conftest.py -> CPU pin + x64, but
+        # belt-and-braces against the axon sitecustomize (CLAUDE.md): the
+        # gate must not reach for the TPU tunnel mid-suite
+        JAX_PLATFORMS="cpu",
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest",
+         "tests/test_realdata_gate.py", "-x", "-q", "-s",
+         "-p", "no:cacheprovider"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=5400,
+    )
+    tail = (r.stdout or "")[-4000:] + "\n" + (r.stderr or "")[-2000:]
+    assert r.returncode == 0, f"gate run failed:\n{tail}"
+    assert "1 passed" in r.stdout, tail
+    # surface the gate's printed MRRs in -s runs
+    for line in r.stdout.splitlines():
+        if "MRR=" in line:
+            print(line)
