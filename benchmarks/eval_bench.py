@@ -14,20 +14,23 @@ import jax
 import jax.numpy as jnp
 
 from complexhyperbolickge_tpu.data.dataset import dedup_filter_rows
-from complexhyperbolickge_tpu.kernels import make_pallas_ranker
 from complexhyperbolickge_tpu.models import ModelConfig, get_model
 from complexhyperbolickge_tpu.train.evaluate import make_ranker
 
 # WN18RR scale by default; EVAL_BENCH_N_ENT=123182 reproduces the YAGO3-10
-# README row (the candidate axis is the only scale knob that matters here)
+# README row (the candidate axis is the only scale knob that matters here).
+# EVAL_BENCH_MODEL selects the family (FFTRotH default; RotH / RotLH etc.
+# exercise the hyp/Lorentz kernels incl. their round-4 maskless forms).
 N_ENT = int(os.environ.get("EVAL_BENCH_N_ENT", 40943))
+MODEL = os.environ.get("EVAL_BENCH_MODEL", "FFTRotH")
 N_REL, RANK, B, LMAX = 22, 33, 500, 64
 
 
 def main():
-    cfg = ModelConfig(n_entities=N_ENT, n_relations=N_REL, rank=RANK,
+    rank = RANK if MODEL.startswith("FFT") else 32  # Givens pairs need even
+    cfg = ModelConfig(n_entities=N_ENT, n_relations=N_REL, rank=rank,
                       multi_c=True, bias="learn", dtype="float32")
-    model = get_model("FFTRotH")(cfg)
+    model = get_model(MODEL)(cfg)
     rng = np.random.default_rng(0)
     params = {
         k: jnp.asarray(rng.normal(0, 0.1, size=shape), dtype=jnp.float32)
@@ -42,23 +45,24 @@ def main():
     fidx = dedup_filter_rows(fidx, N_ENT)  # pack contract: rows dedup'd
     jq, jf = jnp.asarray(q), jnp.asarray(fidx)
 
-    dense = make_ranker(model, B)
-    pallas = make_pallas_ranker(model, B)
+    from complexhyperbolickge_tpu.train.evaluate import make_best_ranker
 
-    # selector policy: 'auto' = the scatter-free dense ranker (fastest-or-
-    # equal at every measured scale); 'pallas' must still build the fused
-    # kernel (a silent fallback would hide kernel rot)
+    dense = make_ranker(model, B)
+    pallas = make_best_ranker(model, B, "pallas")
+
+    # selector policy: 'auto' = the scatter-free dense ranker (fastest
+    # exact-tie path at every measured scale); 'pallas' must still build
+    # the fused kernel (a silent fallback would hide kernel rot)
     if jax.devices()[0].platform != "cpu":
         from complexhyperbolickge_tpu.kernels.chyp_rank import PallasChypRanker
-        from complexhyperbolickge_tpu.train.evaluate import make_best_ranker
+        from complexhyperbolickge_tpu.kernels.hyp_rank import PallasHypRanker
 
         best = make_best_ranker(model, B, "auto")
-        assert not isinstance(best, PallasChypRanker), (
+        assert not isinstance(best, (PallasChypRanker, PallasHypRanker)), (
             "'auto' should select the dense ranker"
         )
-        forced = make_best_ranker(model, B, "pallas")
-        assert isinstance(forced, PallasChypRanker), (
-            f"backend='pallas' built {type(forced).__name__}"
+        assert isinstance(pallas, (PallasChypRanker, PallasHypRanker)), (
+            f"backend='pallas' built {type(pallas).__name__}"
         )
 
     r1 = np.asarray(dense(params, jq, jf))
@@ -104,7 +108,8 @@ def main():
     # kernel, so ranks should be IDENTICAL to the masked kernel — the old
     # batched-dot subtraction tied-and-shifted ~2% of queries by +-1)
     if os.environ.get("EVAL_BENCH_MASKLESS", "1") != "0":
-        maskless = make_pallas_ranker(model, B, masked=False)
+        maskless = make_best_ranker(model, B, "pallas_maskless")
+        assert getattr(maskless, "masked", None) is False, type(maskless)
         r3 = np.asarray(maskless(params, jq, jf))
         n_same = int((r2 == r3).sum())
         print(f"maskless vs masked kernel: identical ranks {n_same}/{B}, "

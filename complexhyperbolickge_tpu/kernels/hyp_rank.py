@@ -35,32 +35,13 @@ def _artanh(x):
     return 0.5 * (jnp.log1p(x) - jnp.log1p(-x))
 
 
-def _hyp_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
-                     mask_ref, out_ref, *, eps: float,
-                     precision: str = "highest"):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    rhs_t = rhs_ref[:]  # (T, Dp)
-    acc = jax.lax.dot_general(
-        lhs_ref[:], rhs_t,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_PRECISIONS[precision],
-    )  # (B, T) = <x, v>
-    un_sq = jnp.sum(rhs_t * rhs_t, axis=1, keepdims=True).T  # (1, T)
-    un = jnp.sqrt(jnp.maximum(un_sq, MIN_NORM * MIN_NORM))
-    xv = acc / un  # <x, v/||v||>
-
-    c = c_ref[:]  # (B, 1)
+def _poincare_dist(xv, un, c, x2, eps):
+    """Shared BaseH epilogue (kernel tiles AND the maskless subtraction):
+    double-folded expmap0/tanh Poincare distance with per-query curvature.
+    xv = <x, v/||v||>, un = ||v||; broadcasting shapes are the caller's."""
     sqrt_c = jnp.sqrt(c)
-    x2 = x2_ref[:]  # (B, 1)
-
     # expmap0 radius with project() clip, then the distance's second fold
-    m = _tanh15(sqrt_c * un) / sqrt_c  # (B, T)
+    m = _tanh15(sqrt_c * un) / sqrt_c
     m = jnp.minimum(m, (1.0 - eps) / sqrt_c)
     gamma = _tanh15(sqrt_c * m) / sqrt_c
     c1 = 1.0 - 2.0 * c * gamma * xv + c * gamma * gamma
@@ -73,40 +54,15 @@ def _hyp_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
     )
     denom = 1.0 - 2.0 * c * gamma * xv + c * c * gamma * gamma * x2
     pn = num / jnp.maximum(denom, MIN_NORM)
-    dist = 2.0 * _artanh(sqrt_c * pn) / sqrt_c
-    score = bt_ref[:] - dist * dist
-
-    maskf = mask_ref[:].astype(jnp.float32)
-    keep = jnp.where(score >= t2_ref[:], 1.0 - maskf, 0.0)
-    out_ref[:] += jnp.sum(keep, axis=1)[None, :]
+    return 2.0 * _artanh(sqrt_c * pn) / sqrt_c
 
 
-def _lorentz_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
-                         mask_ref, out_ref, *, eps: float,
-                         precision: str = "highest"):
-    """BaseLorentz epilogue: folded expmap0_lorentz + hyperboloid distance
-    (ops/hyperbolic.py::lorentz_sim_expmap_all; reference
+def _lorentz_dist(xdir, un, c, x2, eps):
+    """Shared BaseLorentz epilogue: folded expmap0_lorentz + hyperboloid
+    distance (ops/hyperbolic.py::lorentz_sim_expmap_all; reference
     models/hyperbolic.py:330-334, utils/hyperbolic.py:109-121,218-239)."""
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    rhs_t = rhs_ref[:]
-    acc = jax.lax.dot_general(
-        lhs_ref[:], rhs_t,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_PRECISIONS[precision],
-    )  # (B, T) = <x, v>
-    un_sq = jnp.sum(rhs_t * rhs_t, axis=1, keepdims=True).T  # (1, T)
-    un = jnp.sqrt(jnp.maximum(un_sq, MIN_NORM * MIN_NORM))
-    xdir = acc / un
-
-    c = c_ref[:]
     sqrt_c = jnp.sqrt(c)
-    alpha = sqrt_c * un  # (B, T)
+    alpha = sqrt_c * un
     # sinh(a)/a: Pallas TPU lowers neither sinh nor expm1, so use the exp
     # form with a Taylor branch below the f32 cancellation crossover (~0.1);
     # series error there is ~a^6/5040 < 3e-10
@@ -117,16 +73,66 @@ def _lorentz_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
         / (2.0 * jnp.maximum(alpha, MIN_NORM)),
     )
     s = sinh_ratio * un  # expmap0_lorentz radius
-    x0 = jnp.sqrt(x2_ref[:] + 1.0 / c)  # (B, 1)
+    x0 = jnp.sqrt(x2 + 1.0 / c)
     v0 = jnp.sqrt(s * s + 1.0 / c)
     res = xdir * s - x0 * v0
     # arcosh with the reference's clamp_min(1 + 1e-6); log+sqrt form
     z = jnp.maximum(-c * res, 1.0 + 1e-6)
-    dist = jnp.log(z + jnp.sqrt(z * z - 1.0)) / sqrt_c
-    score = bt_ref[:] - dist * dist
+    return jnp.log(z + jnp.sqrt(z * z - 1.0)) / sqrt_c
 
+
+_DISTS = {"poincare": _poincare_dist, "lorentz": _lorentz_dist}
+
+
+def _hyp_scores(lhs, rhs_t, c, x2, bt, *, family: str, eps: float,
+                precision: str):
+    """Tile score block: one MXU contraction + the family epilogue — shared
+    verbatim by the masked/nomask kernels (and mirrored with the same
+    dot_general form by the maskless subtraction)."""
+    acc = jax.lax.dot_general(
+        lhs, rhs_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISIONS[precision],
+    )  # (B, T) = <x, v>
+    un_sq = jnp.sum(rhs_t * rhs_t, axis=1, keepdims=True).T  # (1, T)
+    un = jnp.sqrt(jnp.maximum(un_sq, MIN_NORM * MIN_NORM))
+    dist = _DISTS[family](acc / un, un, c, x2, eps)
+    return bt - dist * dist
+
+
+def _hyp_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
+                     mask_ref, out_ref, *, eps: float, family: str,
+                     precision: str = "highest"):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    score = _hyp_scores(lhs_ref[:], rhs_ref[:], c_ref[:], x2_ref[:], bt_ref[:],
+                        family=family, eps=eps, precision=precision)
     maskf = mask_ref[:].astype(jnp.float32)
     keep = jnp.where(score >= t2_ref[:], 1.0 - maskf, 0.0)
+    out_ref[:] += jnp.sum(keep, axis=1)[None, :]
+
+
+def _hyp_rank_kernel_nomask(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
+                            out_ref, *, eps: float, family: str,
+                            precision: str = "highest"):
+    """Maskless tile: counts ALL entities with score >= t2.  The CALLER must
+    prep bt_row with -1e30 pad slots (hyp tables' pad rows are zeros, whose
+    finite distance could otherwise outrank); filtered entities are
+    subtracted outside (hyp_rank_counts_nomask)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    score = _hyp_scores(lhs_ref[:], rhs_ref[:], c_ref[:], x2_ref[:], bt_ref[:],
+                        family=family, eps=eps, precision=precision)
+    keep = jnp.where(score >= t2_ref[:], jnp.float32(1.0), jnp.float32(0.0))
     out_ref[:] += jnp.sum(keep, axis=1)[None, :]
 
 
@@ -328,9 +334,9 @@ def hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask, *,
     np_, _ = rhs_pad.shape
     assert np_ % tile_n == 0
     eps = float(ball_eps(jnp.float32))
-    kernel = _hyp_rank_kernel if family == "poincare" else _lorentz_rank_kernel
     counts = pl.pallas_call(
-        functools.partial(kernel, eps=eps, precision=precision),
+        functools.partial(_hyp_rank_kernel, eps=eps, family=family,
+                          precision=precision),
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
         grid=(np_ // tile_n,),
         in_specs=[
@@ -348,12 +354,90 @@ def hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask, *,
     return counts[0]
 
 
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret",
+                                              "family", "precision"))
+def hyp_rank_counts_nomask(lhs_pad, x2, c, t2, rhs_pad, bt_row, fidx,
+                           f_ok=None, *, tile_n: int = 512,
+                           interpret: bool = False,
+                           family: str = "poincare",
+                           precision: str = "highest"):
+    """Maskless hyp/Lorentz counting: the kernel counts every entity (the
+    caller preps bt_row with -1e30 pad slots so zero pad rows are
+    unreachable) and the filtered entities' scores are recomputed with the
+    SAME flat dot_general form + family epilogue and subtracted, chunked
+    over queries like chyp_rank_counts_nomask (same +-1-rank MXU-tie
+    caveat; bitwise on CPU).  f_ok as in the chyp variant."""
+    b, dp = lhs_pad.shape
+    np_, _ = rhs_pad.shape
+    assert np_ % tile_n == 0
+    eps = float(ball_eps(jnp.float32))
+    counts = pl.pallas_call(
+        functools.partial(_hyp_rank_kernel_nomask, eps=eps, family=family,
+                          precision=precision),
+        out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
+        grid=(np_ // tile_n,),
+        in_specs=[
+            pl.BlockSpec((b, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lhs_pad, x2, c, t2, rhs_pad, bt_row)[0]
+
+    f = jnp.minimum(fidx.astype(jnp.int32), np_ - 1)  # (B, L)
+    l = f.shape[1]
+    ok = (jnp.ones(f.shape, jnp.float32) if f_ok is None
+          else f_ok.astype(jnp.float32))
+    g = min(b, 64)
+    bp = round_up(b, g)
+    if bp != b:
+        f = jnp.concatenate(
+            [f, jnp.full((bp - b, l), np_ - 1, jnp.int32)], axis=0)
+        ok = jnp.concatenate([ok, jnp.zeros((bp - b, l), jnp.float32)], axis=0)
+    lhs_p = jnp.concatenate([lhs_pad, jnp.zeros((bp - b, dp), lhs_pad.dtype)])
+    x2_p = jnp.concatenate([x2, jnp.ones((bp - b, 1), x2.dtype)])
+    c_p = jnp.concatenate([c, jnp.ones((bp - b, 1), c.dtype)])
+    t2_p = jnp.concatenate([t2, jnp.zeros((bp - b, 1), t2.dtype)])
+    diag = jnp.arange(g)
+
+    def chunk_counts(args):
+        lc, fc, okc, x2c, cc, t2c = args  # (G,Dp) (G,L) (G,L) (G,1)x3
+        rows = rhs_pad[fc.reshape(-1)]  # (G*L, Dp)
+        acc = jax.lax.dot_general(
+            lc, rows,
+            dimension_numbers=(((1,), (1,)), ((), ())),  # == tile kernel form
+            preferred_element_type=jnp.float32,
+            precision=_PRECISIONS[precision],
+        ).reshape(g, g, l)[diag, diag]  # (G, L) per-query diagonal block
+        un_sq = jnp.sum(rows * rows, axis=-1).reshape(g, l)
+        un = jnp.sqrt(jnp.maximum(un_sq, MIN_NORM * MIN_NORM))
+        dist = _DISTS[family](acc / un, un, cc, x2c, eps)
+        score_f = bt_row[0, fc] - dist * dist
+        return jnp.sum(
+            jnp.where(score_f >= t2c, okc, jnp.float32(0.0)), axis=1,
+        )
+
+    nchunk = bp // g
+    count_f = jax.lax.map(
+        chunk_counts,
+        (lhs_p.reshape(nchunk, g, dp), f.reshape(nchunk, g, l),
+         ok.reshape(nchunk, g, l), x2_p.reshape(nchunk, g, 1),
+         c_p.reshape(nchunk, g, 1), t2_p.reshape(nchunk, g, 1)),
+    ).reshape(bp)[:b]
+    return counts - count_f
+
+
 class PallasHypRanker:
     """Drop-in filtered ranker for the BaseH family (not AttRH) and the
     BaseLorentz family (RotLH, HyboNet)."""
 
     def __init__(self, model, batch_size: int, tile_n: int = 512,
-                 interpret: bool = False, precision: str = "highest"):
+                 interpret: bool = False, precision: str = "highest",
+                 masked: bool = True):
         from complexhyperbolickge_tpu.models.hyperbolic import (
             AttRH,
             BaseH,
@@ -368,8 +452,13 @@ class PallasHypRanker:
         self.tile_n = tile_n
         self.interpret = interpret
         self.precision = precision
+        # masked=False: subtract-filtered counting, same trade as the chyp
+        # maskless ranker (no (B, N) mask build/stream; +-1 rank on exact
+        # f32 MXU ties — bitwise on CPU)
+        self.masked = masked
         self._prep = jax.jit(self._prepare_tables)
         self._qfn = jax.jit(self._queries)
+        self._one = jax.jit(self._rank_one)
         self._scan = jax.jit(self._rank_scan)
         # padded tables cached per params version (strong-reference key)
         self._tables_params = None
@@ -378,18 +467,23 @@ class PallasHypRanker:
     def _prepare_tables(self, params):
         ent = params["entity"].astype(jnp.float32)
         n, d = ent.shape
-        np_ = -(-n // self.tile_n) * self.tile_n
+        # n+1 guarantees >= 1 pad row so padded filter ids (== n_entities)
+        # clamp onto an unreachable row in the maskless path (chyp trick)
+        np_ = round_up(n + 1, self.tile_n)
         dp = round_up(d, 128)
         rhs = jnp.zeros((np_, dp), jnp.float32).at[:n, :d].set(ent)
         bt = params["bt"][:, 0].astype(jnp.float32)
         if self.model.cfg.bias != "learn":
             bt = jnp.zeros_like(bt)
-        bt_row = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(bt)
+        # pad slots carry -1e30: below any threshold, so the maskless kernel
+        # never counts the zero pad rows (whose distance is finite); the
+        # masked kernel's pad-row mask bits make it a no-op there
+        bt_row = jnp.full((1, np_), -1e30, jnp.float32).at[0, :n].set(bt)
         return rhs, bt_row
 
-    def _queries(self, params, q, fidx, rhs_pad, bt_row):
+    def _queries_core(self, params, q, rhs_pad):
         model = self.model
-        np_, dp = rhs_pad.shape
+        dp = rhs_pad.shape[1]
         b = q.shape[0]
         (lhs, c), lhs_b = model.get_queries(params, q[:, :2])
         lhs = lhs.astype(jnp.float32)
@@ -406,15 +500,19 @@ class PallasHypRanker:
         t2 = gold
         if model.cfg.bias == "learn":
             t2 = t2 + params["bt"][q[:, 2]].astype(jnp.float32)
+        return lhs_pad, x2, c, t2
 
+    def _queries(self, params, q, fidx, rhs_pad, bt_row):
+        np_ = rhs_pad.shape[0]
+        b = q.shape[0]
+        lhs_pad, x2, c, t2 = self._queries_core(params, q, rhs_pad)
         mask = jnp.zeros((b, np_), jnp.int8)
-        mask = mask.at[:, model.cfg.n_entities :].set(1)
+        mask = mask.at[:, self.model.cfg.n_entities :].set(1)
         mask = mask.at[jnp.arange(b)[:, None], fidx].set(1, mode="drop")
         return lhs_pad, x2, c, t2, mask
 
-    def _rank_scan(self, params, qb, fb, rhs_pad, bt_row):
-        def one(x):
-            q, fidx = x
+    def _rank_one(self, params, q, fidx, rhs_pad, bt_row):
+        if self.masked:
             lhs_pad, x2, c, t2, mask = self._queries(params, q, fidx,
                                                      rhs_pad, bt_row)
             counts = hyp_rank_counts(
@@ -422,10 +520,20 @@ class PallasHypRanker:
                 tile_n=self.tile_n, interpret=self.interpret,
                 family=self.family, precision=self.precision,
             )
-            # t2*0: NaN-params discipline (see chyp_rank.py::_rank_one)
-            return 1.0 + counts + (t2[:, 0] * 0.0).astype(jnp.float32)
+        else:
+            lhs_pad, x2, c, t2 = self._queries_core(params, q, rhs_pad)
+            counts = hyp_rank_counts_nomask(
+                lhs_pad, x2, c, t2, rhs_pad, bt_row, fidx,
+                tile_n=self.tile_n, interpret=self.interpret,
+                family=self.family, precision=self.precision,
+            )
+        # t2*0: NaN-params discipline (see chyp_rank.py::_rank_one)
+        return 1.0 + counts + (t2[:, 0] * 0.0).astype(jnp.float32)
 
-        return jax.lax.map(one, (qb, fb))
+    def _rank_scan(self, params, qb, fb, rhs_pad, bt_row):
+        return jax.lax.map(
+            lambda x: self._rank_one(params, *x, rhs_pad, bt_row), (qb, fb)
+        )
 
     def _get_tables(self, params):
         if self._tables_params is not params:
@@ -438,13 +546,7 @@ class PallasHypRanker:
 
     def __call__(self, params, q, fidx):
         rhs_pad, bt_row = self._get_tables(params)
-        lhs_pad, x2, c, t2, mask = self._qfn(params, q, fidx, rhs_pad, bt_row)
-        counts = hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask,
-                                 tile_n=self.tile_n, interpret=self.interpret,
-                                 family=self.family,
-                                 precision=self.precision)
-        # t2*0: NaN-params discipline (see chyp_rank.py::_rank_one)
-        return 1.0 + counts + (t2[:, 0] * 0.0).astype(jnp.float32)
+        return self._one(params, q, fidx, rhs_pad, bt_row)
 
 
 def make_pallas_hyp_ranker(model, batch_size: int, interpret: bool = False,

@@ -220,12 +220,20 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
                                       interpret=not on_tpu,
                                       precision=precision,
                                       masked=backend != "pallas_maskless")
+        if isinstance(model, (BaseH, BaseLorentz)) and not isinstance(
+                model, AttRH) and backend == "pallas_maskless":
+            from complexhyperbolickge_tpu.kernels import make_pallas_hyp_ranker
+
+            return make_pallas_hyp_ranker(model, eval_batch_size,
+                                          interpret=not on_tpu,
+                                          precision=precision, masked=False)
         if backend == "pallas_maskless":
             import logging
 
             logging.warning(
-                "backend='pallas_maskless' is CHYP-family only; %s gets "
-                "the masked fused kernel", type(model).__name__,
+                "backend='pallas_maskless' has no %s variant (AttRH's "
+                "two-table form was not built); using the masked fused "
+                "kernel", type(model).__name__,
             )
         if isinstance(model, AttRH):
             from complexhyperbolickge_tpu.kernels import (

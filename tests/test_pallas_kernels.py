@@ -113,10 +113,14 @@ def test_pallas_hyp_ranker_matches_dense(name, rank, direction):
     pack = data.eval_pack("test", direction)
     dense = get_ranking(model, params, pack, batch_size=64)
     ranker = make_pallas_hyp_ranker(model, 64, interpret=True)
-    ranks = np.asarray(
-        ranker(params, jnp.asarray(pack.queries), jnp.asarray(pack.filter_idx))
-    )
+    q, f = jnp.asarray(pack.queries), jnp.asarray(pack.filter_idx)
+    ranks = np.asarray(ranker(params, q, f))
     _assert_ranks_match(ranks, dense)
+    # maskless (subtract-filtered) form: exact vs masked on CPU — the flat
+    # subtraction contraction and the family epilogue are the same
+    # arithmetic (on-chip the +-1 MXU-tie caveat applies, like chyp)
+    maskless = make_pallas_hyp_ranker(model, 64, interpret=True, masked=False)
+    np.testing.assert_array_equal(np.asarray(maskless(params, q, f)), ranks)
 
 
 @pytest.mark.parametrize("direction", ["rhs", "lhs"])
@@ -203,9 +207,15 @@ def test_best_ranker_pallas_maskless_policy():
 
     r = make_best_ranker(_tiny_model("FFTRotH"), 8, "pallas_maskless")
     assert isinstance(r, PallasChypRanker) and r.masked is False
+    for name in ("RotH", "RotLH"):
+        r = make_best_ranker(_tiny_model(name, 8), 8, "pallas_maskless")
+        assert isinstance(r, PallasHypRanker) and r.masked is False, name
+    # AttRH has no maskless variant: falls back to its masked kernel
+    from complexhyperbolickge_tpu.kernels.hyp_rank import PallasAttRHRanker
+
     assert isinstance(
-        make_best_ranker(_tiny_model("RotH", 8), 8, "pallas_maskless"),
-        PallasHypRanker)
+        make_best_ranker(_tiny_model("AttRH", 8), 8, "pallas_maskless"),
+        PallasAttRHRanker)
 
 
 def test_best_ranker_auto_policy(monkeypatch):
