@@ -88,12 +88,23 @@ def _rank_kernel(lhs2_ref, zn_ref, t2_ref, rhs_ref, bt_ref, mask_ref, out_ref,
     out_ref[:] += jnp.sum(keep, axis=1)[None, :]
 
 
-def _rank_kernel_nomask(lhs2_ref, zn_ref, t2_ref, rhs_ref, bt_ref, out_ref,
-                        *, b: int, eps: float, precision: str):
-    """Maskless tile: counts ALL entities with score >= t2.  Table pad rows
-    carry bt = -1e30, so they can never reach any threshold; filtered
-    entities are subtracted OUTSIDE the kernel (chyp_rank_counts_nomask) —
-    eliminating the (B, N) mask build + stream entirely."""
+def _rank_kernel_nomask(lhs2_ref, zn_ref, t2_ref, gold_ref, rhs_ref, bt_ref,
+                        out_ref, *, b: int, tile_n: int, eps: float,
+                        precision: str):
+    """Maskless tile: counts ALL entities with score >= t2 EXCEPT the gold
+    row (gold_ref: (B,1) i32 row index into the padded table; -1 = not in
+    this table/shard).  Table pad rows carry bt = -1e30, so they can never
+    reach any threshold; filtered entities are subtracted OUTSIDE the kernel
+    (chyp_rank_counts_nomask) — eliminating the (B, N) mask build + stream.
+
+    Why the gold is excluded IN-kernel: its score ties t2 by construction,
+    and the tile dot vs the subtraction's flat dot can round that tie apart
+    (one ulp is enough to flip >=), double-counting or double-subtracting
+    the gold by 1.  Skipping it here and in the subtraction (and adding the
+    dense path's net-0-when-filtered / +1-when-not constant in the caller)
+    makes the gold's contribution exact by construction on every backend.
+    The not-gold mask is arithmetic (min(|col-gold|, 1)) — Mosaic has no
+    int vector compare lowering (see the int8 trap in _rank_kernel)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -102,7 +113,11 @@ def _rank_kernel_nomask(lhs2_ref, zn_ref, t2_ref, rhs_ref, bt_ref, out_ref,
 
     score = _chyp_scores(lhs2_ref[:], zn_ref[:], rhs_ref[:], bt_ref[:],
                          b=b, eps=eps, precision=precision)
-    keep = jnp.where(score >= t2_ref[:], jnp.float32(1.0), jnp.float32(0.0))
+    col = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    notgold = jnp.minimum(
+        jnp.abs((col - gold_ref[:]).astype(jnp.float32)), 1.0
+    )
+    keep = jnp.where(score >= t2_ref[:], notgold, jnp.float32(0.0))
     out_ref[:] += jnp.sum(keep, axis=1)[None, :]
 
 
@@ -150,13 +165,14 @@ def chyp_rank_counts(lhs2, znorm, t2, rhs_pad, bt_row, mask, *, tile_n: int = 51
 @functools.partial(jax.jit,
                    static_argnames=("tile_n", "interpret", "precision"))
 def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, f_ok=None,
-                            *, tile_n: int = 512, interpret: bool = False,
+                            gold=None, *, tile_n: int = 512,
+                            interpret: bool = False,
                             precision: str = "highest"):
-    """Counts #{non-filtered entities with score >= t2} per query, WITHOUT a
-    dense (B, N) mask: the kernel counts every entity over the padded table
-    (pad rows carry bt = -1e30, unreachable), and the filtered entities'
-    scores are recomputed with the SAME 2-D dot_general form the tile kernel
-    uses and subtracted.  fidx rows must be DEDUPLICATED
+    """Counts #{non-filtered, non-gold entities with score >= t2} per query,
+    WITHOUT a dense (B, N) mask: the kernel counts every entity over the
+    padded table (pad rows carry bt = -1e30, unreachable), and the filtered
+    entities' scores are recomputed with the SAME 2-D dot_general form the
+    tile kernel uses and subtracted.  fidx rows must be DEDUPLICATED
     (data/dataset.py::eval_pack guarantees it); pad value >= n_entities
     lands on a pad row and self-excludes.  f_ok (optional (B, L) bool/0-1):
     explicit per-slot validity for callers whose table slice has no
@@ -165,6 +181,17 @@ def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, f_ok=None,
     Saves ~2 x B x N bytes of mask build+stream per batch (62 MB/batch at
     YAGO3-10 scale).
 
+    gold (optional (B,) i32 row index into THIS table; -1 = not present):
+    the gold row is excluded from BOTH the kernel count and the
+    subtraction — its score ties t2 by construction, and any rounding
+    difference between the tile dot and the flat dot (1 ulp suffices, and
+    gemm shape alone changes ulps even on CPU) flips the >= on one side
+    only, shifting the rank by +-1.  The CALLER adds back the dense path's
+    deterministic gold contribution: 0 if the gold is in the filter list
+    (it always is under the reference protocol), else +1.  With gold=None
+    the gold row is counted/subtracted like any other (pre-round-4
+    semantics, tie-fragile).
+
     Tie exactness: the original subtraction used a BATCHED dot_general
     ((B,2,Dp) x (B,L,Dp)), which rounds differently on the MXU than the
     tile's plain 2-D contraction — ~2% of queries shifted +-1 rank on exact
@@ -172,15 +199,19 @@ def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, f_ok=None,
     the tile's exact dimension_numbers/precision and takes the per-query
     diagonal blocks, chunked over queries (G <= 64) so the cross-query
     product stays ~2 MB instead of a (2B, B*L) 128 MB materialization; the
-    wasted off-diagonal FLOPs are ~4% of the main sweep's at YAGO shapes."""
+    wasted off-diagonal FLOPs are ~4% of the main sweep's at YAGO shapes.
+    Residual +-1 risk after the gold fix: only exact score ties between
+    DISTINCT non-gold entities across the two dot shapes."""
     b2, dp = lhs2.shape
     b = b2 // 2
     np_, _ = rhs_pad.shape
     assert np_ % tile_n == 0
     eps = float(ball_eps(jnp.float32))
+    gold_col = (jnp.full((b, 1), -1, jnp.int32) if gold is None
+                else gold.astype(jnp.int32).reshape(b, 1))
 
     counts = pl.pallas_call(
-        functools.partial(_rank_kernel_nomask, b=b, eps=eps,
+        functools.partial(_rank_kernel_nomask, b=b, tile_n=tile_n, eps=eps,
                           precision=precision),
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
         grid=(np_ // tile_n,),
@@ -188,18 +219,22 @@ def chyp_rank_counts_nomask(lhs2, znorm, t2, rhs_pad, bt_row, fidx, f_ok=None,
             pl.BlockSpec((2 * b, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(lhs2, znorm, t2, rhs_pad, bt_row)[0]
+    )(lhs2, znorm, t2, gold_col, rhs_pad, bt_row)[0]
 
     # filtered subtraction: flat same-form contraction, chunked over queries
     f = jnp.minimum(fidx.astype(jnp.int32), np_ - 1)  # (B, L)
     l = f.shape[1]
     ok = (jnp.ones(f.shape, jnp.float32) if f_ok is None
           else f_ok.astype(jnp.float32))
+    # the gold's slot (if present) is excluded from the subtraction too —
+    # the kernel above never counted it
+    ok = ok * (f != gold_col).astype(jnp.float32)
     g = min(b, 64)
     bp = round_up(b, g)
     if bp != b:  # pad queries; padded rows' counts are sliced away below
@@ -274,12 +309,13 @@ class PallasChypRanker:
         # masked=True (default) streams a dense (B, N) int8 filter mask
         # through the kernel — bitwise tie semantics identical to the dense
         # ranker.  masked=False subtracts per-filtered-entity counts instead
-        # (chyp_rank_counts_nomask): measured 1.14-1.18x faster on v5e
+        # (chyp_rank_counts_nomask): measured 1.09-1.38x faster on v5e
         # (WN18RR/YAGO shapes; the entity-table stream, not the mask,
-        # dominates), but the tile matmul and the pairwise subtraction
-        # round differently on the MXU, so ~2% of queries shift by +-1 rank
-        # on exact score ties (CPU interpret mode is bitwise-equal).  Exact
-        # semantics win by default; flip for throughput at scale.
+        # dominates).  The gold's systematic tie is handled exactly (in-
+        # kernel exclusion, round 4); residual +-1 risk is exact non-gold
+        # score ties only — the same class in which the masked kernel
+        # itself can differ from the XLA dense ranker on the MXU.  Exact
+        # mask semantics stay the default; flip for throughput at scale.
         self.masked = masked
         self._prep = jax.jit(self._prepare_tables)
         self._one = jax.jit(self._rank_one)
@@ -365,11 +401,19 @@ class PallasChypRanker:
             )
         else:
             lhs2, znorm, t2 = self._queries_core(params, q, rhs_pad)
+            gold = q[:, 2].astype(jnp.int32)
             counts = chyp_rank_counts_nomask(
-                lhs2, znorm, t2, rhs_pad, bt_row, fidx,
+                lhs2, znorm, t2, rhs_pad, bt_row, fidx, None, gold,
                 tile_n=self.tile_n, interpret=self.interpret,
                 precision=self.precision,
             )
+            # the gold was excluded in-kernel AND from the subtraction; its
+            # deterministic dense-path contribution is 0 when filtered
+            # (always, under the reference protocol) and +1 otherwise
+            gold_filtered = jnp.any(
+                fidx.astype(jnp.int32) == gold[:, None], axis=1
+            )
+            counts = counts + jnp.where(gold_filtered, 0.0, 1.0)
         # NaN discipline: counts are sums of comparisons (finite by
         # construction), so NaN params would silently rank everything 1.
         # t2 * 0 is 0 when the gold-target score is finite and NaN

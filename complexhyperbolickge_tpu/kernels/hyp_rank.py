@@ -117,13 +117,16 @@ def _hyp_rank_kernel(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
     out_ref[:] += jnp.sum(keep, axis=1)[None, :]
 
 
-def _hyp_rank_kernel_nomask(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
-                            out_ref, *, eps: float, family: str,
-                            precision: str = "highest"):
-    """Maskless tile: counts ALL entities with score >= t2.  The CALLER must
-    prep bt_row with -1e30 pad slots (hyp tables' pad rows are zeros, whose
-    finite distance could otherwise outrank); filtered entities are
-    subtracted outside (hyp_rank_counts_nomask)."""
+def _hyp_rank_kernel_nomask(lhs_ref, x2_ref, c_ref, t2_ref, gold_ref, rhs_ref,
+                            bt_ref, out_ref, *, tile_n: int, eps: float,
+                            family: str, precision: str = "highest"):
+    """Maskless tile: counts ALL entities with score >= t2 EXCEPT the gold
+    row (gold_ref: (B,1) i32 row index; -1 = not in this table/shard — see
+    chyp_rank.py::_rank_kernel_nomask for why the gold's tie must be
+    excluded in-kernel).  The CALLER must prep bt_row with -1e30 pad slots
+    (hyp tables' pad rows are zeros, whose finite distance could otherwise
+    outrank); filtered entities are subtracted outside
+    (hyp_rank_counts_nomask)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -132,7 +135,12 @@ def _hyp_rank_kernel_nomask(lhs_ref, x2_ref, c_ref, t2_ref, rhs_ref, bt_ref,
 
     score = _hyp_scores(lhs_ref[:], rhs_ref[:], c_ref[:], x2_ref[:], bt_ref[:],
                         family=family, eps=eps, precision=precision)
-    keep = jnp.where(score >= t2_ref[:], jnp.float32(1.0), jnp.float32(0.0))
+    b = score.shape[0]
+    col = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    notgold = jnp.minimum(
+        jnp.abs((col - gold_ref[:]).astype(jnp.float32)), 1.0
+    )
+    keep = jnp.where(score >= t2_ref[:], notgold, jnp.float32(0.0))
     out_ref[:] += jnp.sum(keep, axis=1)[None, :]
 
 
@@ -357,7 +365,7 @@ def hyp_rank_counts(lhs_pad, x2, c, t2, rhs_pad, bt_row, mask, *,
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret",
                                               "family", "precision"))
 def hyp_rank_counts_nomask(lhs_pad, x2, c, t2, rhs_pad, bt_row, fidx,
-                           f_ok=None, *, tile_n: int = 512,
+                           f_ok=None, gold=None, *, tile_n: int = 512,
                            interpret: bool = False,
                            family: str = "poincare",
                            precision: str = "highest"):
@@ -365,19 +373,26 @@ def hyp_rank_counts_nomask(lhs_pad, x2, c, t2, rhs_pad, bt_row, fidx,
     caller preps bt_row with -1e30 pad slots so zero pad rows are
     unreachable) and the filtered entities' scores are recomputed with the
     SAME flat dot_general form + family epilogue and subtracted, chunked
-    over queries like chyp_rank_counts_nomask (same +-1-rank MXU-tie
-    caveat; bitwise on CPU).  f_ok as in the chyp variant."""
+    over queries like chyp_rank_counts_nomask.  f_ok and gold as in the
+    chyp variant: the gold row (whose score ties t2 by construction) is
+    excluded from BOTH sides and the caller adds back its deterministic
+    contribution — without this, tile-vs-flat gemm-shape rounding flips the
+    gold's >= on one side only (+-1 rank; observed even on CPU at batched
+    shapes).  Residual +-1 risk: exact non-gold score ties only."""
     b, dp = lhs_pad.shape
     np_, _ = rhs_pad.shape
     assert np_ % tile_n == 0
     eps = float(ball_eps(jnp.float32))
+    gold_col = (jnp.full((b, 1), -1, jnp.int32) if gold is None
+                else gold.astype(jnp.int32).reshape(b, 1))
     counts = pl.pallas_call(
-        functools.partial(_hyp_rank_kernel_nomask, eps=eps, family=family,
-                          precision=precision),
+        functools.partial(_hyp_rank_kernel_nomask, tile_n=tile_n, eps=eps,
+                          family=family, precision=precision),
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
         grid=(np_ // tile_n,),
         in_specs=[
             pl.BlockSpec((b, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -386,12 +401,15 @@ def hyp_rank_counts_nomask(lhs_pad, x2, c, t2, rhs_pad, bt_row, fidx,
         ],
         out_specs=pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(lhs_pad, x2, c, t2, rhs_pad, bt_row)[0]
+    )(lhs_pad, x2, c, t2, gold_col, rhs_pad, bt_row)[0]
 
     f = jnp.minimum(fidx.astype(jnp.int32), np_ - 1)  # (B, L)
     l = f.shape[1]
     ok = (jnp.ones(f.shape, jnp.float32) if f_ok is None
           else f_ok.astype(jnp.float32))
+    # the gold's slot (if present) is excluded from the subtraction too —
+    # the kernel above never counted it
+    ok = ok * (f != gold_col).astype(jnp.float32)
     g = min(b, 64)
     bp = round_up(b, g)
     if bp != b:
@@ -522,11 +540,18 @@ class PallasHypRanker:
             )
         else:
             lhs_pad, x2, c, t2 = self._queries_core(params, q, rhs_pad)
+            gold = q[:, 2].astype(jnp.int32)
             counts = hyp_rank_counts_nomask(
-                lhs_pad, x2, c, t2, rhs_pad, bt_row, fidx,
+                lhs_pad, x2, c, t2, rhs_pad, bt_row, fidx, None, gold,
                 tile_n=self.tile_n, interpret=self.interpret,
                 family=self.family, precision=self.precision,
             )
+            # gold excluded in-kernel + from the subtraction; add back its
+            # deterministic dense-path contribution (0 when filtered)
+            gold_filtered = jnp.any(
+                fidx.astype(jnp.int32) == gold[:, None], axis=1
+            )
+            counts = counts + jnp.where(gold_filtered, 0.0, 1.0)
         # t2*0: NaN-params discipline (see chyp_rank.py::_rank_one)
         return 1.0 + counts + (t2[:, 0] * 0.0).astype(jnp.float32)
 

@@ -401,14 +401,36 @@ def make_sharded_pallas_ranker(model, mesh, n_entities: int, tile_n: int = 512,
             counts = chyp_rank_counts_nomask(
                 lhs2, znorm, t2, rhs_local, bt_local, f_local,
                 owns.astype(jnp.float32),
+                _gold_local(q, lo, local_np),
                 tile_n=tile_n, interpret=interpret,
                 precision=precision,
             )
+            counts = counts + _gold_addback(q, fidx, shard_idx)
         # t2*0: NaN discipline (see kernels/chyp_rank.py::_rank_one)
         return (1.0 + jax.lax.psum(counts, axis_name="model")
                 + (t2[:, 0] * 0.0).astype(jnp.float32))
 
     return _finish_sharded_pallas(model, mesh, local_rank, prep_jit, other)
+
+
+def _gold_local(q, lo, local_np: int):
+    """(B,) i32 LOCAL row index of each query's gold tail, or -1 when
+    another shard owns it — the maskless kernels exclude that row in-tile
+    (its score ties t2 by construction; see chyp_rank.py)."""
+    loc = q[:, 2].astype(jnp.int32) - lo
+    owns = (loc >= 0) & (loc < local_np)
+    return jnp.where(owns, loc, -1)
+
+
+def _gold_addback(q, fidx, shard_idx):
+    """The gold's deterministic dense-path contribution (0 when it appears
+    in the filter list — always, under the reference protocol — else +1),
+    added on shard 0 ONLY so the count psum adds it exactly once."""
+    gold_filtered = jnp.any(
+        fidx.astype(jnp.int32) == q[:, 2].astype(jnp.int32)[:, None], axis=1
+    )
+    on_shard0 = (shard_idx == 0).astype(jnp.float32)
+    return jnp.where(gold_filtered, 0.0, 1.0) * on_shard0
 
 
 def _bt_row_and_rest(model, params, np_: int, n_entities: int, other,
@@ -475,14 +497,25 @@ def _psum_gold_bias(bt_local, gold_ids, lo, local_np: int):
 
 def make_sharded_hyp_ranker(model, mesh, n_entities: int, tile_n: int = 512,
                             interpret: bool = False,
-                            precision: str = "highest"):
+                            precision: str = "highest",
+                            masked: bool = True):
     """Entity-sharded ranking with the fused Poincare/Lorentz tile kernel per
     shard (kernels/hyp_rank.py) — the BaseH family (not AttRH) and the
     BaseLorentz family.  Same layout/collective structure as
-    make_sharded_pallas_ranker; pad rows are masked (this kernel family
-    carries zero pad biases and relies on the mask, like its single-device
-    form)."""
-    from complexhyperbolickge_tpu.kernels.hyp_rank import hyp_rank_counts
+    make_sharded_pallas_ranker.
+
+    masked=False: the per-shard subtract-filtered form
+    (hyp_rank_counts_nomask) — no (B, local_np) mask build/stream; each
+    shard subtracts only the filter ids it OWNS (others remap to row 0 with
+    f_ok=0), so the psum total matches.  Same throughput rationale and
+    +-1-rank tie caveat as the single-device maskless ranker.  Pad rows
+    carry bt = -1e30 (unreachable by any threshold) in BOTH modes, like the
+    single-device prep — the masked kernel's pad-row mask bits make the
+    fill a no-op there."""
+    from complexhyperbolickge_tpu.kernels.hyp_rank import (
+        hyp_rank_counts,
+        hyp_rank_counts_nomask,
+    )
     from complexhyperbolickge_tpu.models.hyperbolic import (
         AttRH,
         BaseH,
@@ -500,10 +533,12 @@ def make_sharded_hyp_ranker(model, mesh, n_entities: int, tile_n: int = 512,
     dp = round_up(d, 128)
     other = [k for k in model.param_specs() if k not in _ENTITY_PARAMS]
 
-    # this kernel family carries zero pad biases and relies on the mask for
-    # pad rows, like its single-device form (kernels/hyp_rank.py)
+    # pad-row bt = -1e30 (the single-device prep's trick): the maskless
+    # kernel needs it — zero pad rows have a FINITE distance here, unlike
+    # the CHYP table whose pad rows the Hermitian form maps to the ball
+    # origin — and the masked kernel's pad-row mask bits are unaffected
     prep_jit = _single_table_prep(model, mesh, n_entities, np_, dp, d, other,
-                                  bt_pad_fill=0.0)
+                                  bt_pad_fill=-1e30)
 
     def local_rank(rhs_local, bt_local, rest, q, fidx):
         shard_idx = jax.lax.axis_index("model")
@@ -527,12 +562,28 @@ def make_sharded_hyp_ranker(model, mesh, n_entities: int, tile_n: int = 512,
         if model.cfg.bias == "learn":
             t2 = t2 + _psum_gold_bias(bt_local, q[:, 2], lo, local_np)[:, None]
 
-        mask = _local_pad_filter_mask(fidx, lo, local_np, n_entities, b)
-        counts = hyp_rank_counts(
-            lhs_pad, x2, c, t2, rhs_local, bt_local, mask,
-            tile_n=tile_n, interpret=interpret, family=family,
-            precision=precision,
-        )
+        if masked:
+            mask = _local_pad_filter_mask(fidx, lo, local_np, n_entities, b)
+            counts = hyp_rank_counts(
+                lhs_pad, x2, c, t2, rhs_local, bt_local, mask,
+                tile_n=tile_n, interpret=interpret, family=family,
+                precision=precision,
+            )
+        else:
+            # subtract-filtered per shard: remap owned filter ids to local
+            # rows; non-owned (incl. pad ids) -> row 0 with f_ok=0 (same
+            # scheme as the sharded CHYP maskless ranker above)
+            f = fidx.astype(jnp.int32)
+            owns = (f >= lo) & (f < lo + local_np) & (f < n_entities)
+            f_local = jnp.where(owns, f - lo, 0)
+            counts = hyp_rank_counts_nomask(
+                lhs_pad, x2, c, t2, rhs_local, bt_local, f_local,
+                owns.astype(jnp.float32),
+                _gold_local(q, lo, local_np),
+                tile_n=tile_n, interpret=interpret, family=family,
+                precision=precision,
+            )
+            counts = counts + _gold_addback(q, fidx, shard_idx)
         # t2*0: NaN discipline (see kernels/chyp_rank.py::_rank_one)
         return (1.0 + jax.lax.psum(counts, axis_name="model")
                 + (t2[:, 0] * 0.0).astype(jnp.float32))
@@ -665,9 +716,10 @@ def make_best_sharded_ranker(model, mesh, n_entities: int,
     (fastest-or-equal at every measured scale — see make_best_ranker);
     backend='pallas' -> the fused kernel per shard for every hyperbolic
     family (interpret mode off-TPU), failing LOUDLY if it cannot build;
-    backend='pallas_maskless' (CHYP family) -> the per-shard
-    subtract-filtered kernel (same speed/tie trade as the single-device
-    maskless ranker; non-CHYP families fall back to their masked kernel).
+    backend='pallas_maskless' (CHYP + Poincare/Lorentz families) -> the
+    per-shard subtract-filtered kernel (same speed/tie trade as the
+    single-device maskless ranker; AttRH falls back LOUDLY to its masked
+    kernel — no maskless variant exists for its two-table form).
     precision: MXU contraction mode for the score matmuls on EVERY path
     (see make_best_ranker) — "highest" = exact 6-pass f32 (default),
     "default" = 1-pass bf16."""
@@ -693,6 +745,13 @@ def make_best_sharded_ranker(model, mesh, n_entities: int,
                 masked=backend != "pallas_maskless",
             )
         if isinstance(model, AttRH):
+            if backend == "pallas_maskless":
+                import logging
+
+                logging.warning(
+                    "backend='pallas_maskless' has no AttRH variant (two-"
+                    "table form); using the masked fused kernel per shard",
+                )
             return make_sharded_attrh_ranker(
                 model, mesh, n_entities, interpret=not on_tpu,
                 precision=precision,
@@ -701,6 +760,7 @@ def make_best_sharded_ranker(model, mesh, n_entities: int,
             return make_sharded_hyp_ranker(
                 model, mesh, n_entities, interpret=not on_tpu,
                 precision=precision,
+                masked=backend != "pallas_maskless",
             )
         import logging
 

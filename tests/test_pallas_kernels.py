@@ -274,6 +274,73 @@ def test_best_ranker_failure_is_loud(monkeypatch, caplog):
                for r in caplog.records)
 
 
+def test_maskless_gold_tie_exact_at_straddling_shapes():
+    """Round-4 regression: the gold's score ties t2 by construction, and the
+    tile dot vs the flat subtraction dot round that tie APART at batched
+    gemm shapes — even on CPU (this exact fixture shifted 3/32 ranks by -1
+    before the in-kernel gold exclusion).  The maskless ranker must now
+    reproduce dense filtered ranks exactly here."""
+    from complexhyperbolickge_tpu.kernels import make_pallas_hyp_ranker
+
+    data = synthetic_kg(n_entities=49, n_relations=4, n_train=256,
+                        n_valid=32, n_test=32, seed=3)
+    cfg = ModelConfig(n_entities=49, n_relations=4, rank=6,
+                      multi_c=True, dtype="float32")
+    model = get_model("RotH")(cfg)
+    rng = np.random.default_rng(29)
+    params = {
+        k: jnp.asarray(rng.uniform(-0.5, 0.5, size=shape), dtype=jnp.float32)
+        for k, (shape, _) in model.param_specs().items()
+    }
+    params["c"] = jnp.abs(params["c"]) + 0.5
+    pack = data.eval_pack("test", "rhs")
+    dense = get_ranking(model, params, pack, batch_size=32)
+    maskless = make_pallas_hyp_ranker(model, 32, interpret=True, masked=False)
+    r = np.asarray(maskless(params, jnp.asarray(pack.queries),
+                            jnp.asarray(pack.filter_idx)))
+    np.testing.assert_array_equal(r, dense)
+
+
+def test_maskless_gold_not_in_filters_adds_one(setup):
+    """The maskless kernels exclude the gold row in-tile and add back its
+    deterministic contribution: 0 when the gold is in the filter list
+    (reference protocol), +1 when it is not.  Strip the gold from the
+    filter rows and check both family rankers against the dense path."""
+    from complexhyperbolickge_tpu.kernels import make_pallas_hyp_ranker
+    from complexhyperbolickge_tpu.kernels.chyp_rank import PallasChypRanker
+    from complexhyperbolickge_tpu.train.evaluate import make_ranker
+
+    data, model, params = setup
+    pack = data.eval_pack("test", "rhs")
+    q = jnp.asarray(pack.queries)
+    f = np.array(pack.filter_idx)
+    # remap the gold's slot to the pad id (gold no longer filtered)
+    gold = np.asarray(pack.queries)[:, 2:3]
+    f = np.where(f == gold, model.cfg.n_entities, f)
+    f = jnp.asarray(f)
+
+    # dense reference ranks with the stripped filters (self-consistent
+    # target -> the gold contributes exactly 1)
+    dense = np.asarray(make_ranker(model, len(q))(params, q, f))
+    maskless = PallasChypRanker(model, 64, interpret=True, masked=False)
+    np.testing.assert_array_equal(np.asarray(maskless(params, q, f)), dense)
+
+    # hyp family too (RotH over the same data)
+    cfg = ModelConfig(n_entities=model.cfg.n_entities,
+                      n_relations=model.cfg.n_relations, rank=6,
+                      multi_c=True, dtype="float32")
+    hmodel = get_model("RotH")(cfg)
+    rng = np.random.default_rng(41)
+    hparams = {
+        k: jnp.asarray(rng.uniform(-0.5, 0.5, size=shape), dtype=jnp.float32)
+        for k, (shape, _) in hmodel.param_specs().items()
+    }
+    hparams["c"] = jnp.abs(hparams["c"]) + 0.5
+    hdense = np.asarray(make_ranker(hmodel, len(q))(hparams, q, f))
+    hml = make_pallas_hyp_ranker(hmodel, 64, interpret=True, masked=False)
+    np.testing.assert_array_equal(np.asarray(hml(hparams, q, f)), hdense)
+
+
 def test_maskless_ranker_matches_masked(setup):
     """The subtract-filtered (maskless) kernel path must equal the dense-mask
     path exactly — same score arithmetic on both sides of the subtraction."""
