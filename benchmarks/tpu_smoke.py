@@ -101,7 +101,46 @@ def main():
             failed.append((tag, f"{type(e).__name__}: {e}"))
             print(f"{tag}: FAILED {type(e).__name__}: {e}", flush=True)
 
-    n_total = len(all_models) + 4
+    # the maskless (subtract-filtered) rank kernels are DISTINCT Pallas
+    # programs from the masked ones (gold-excluding tile + flat chunked
+    # subtraction, kernels/{chyp,hyp}_rank.py) — one real-chip lowering +
+    # exactness check per kernel family: chyp (FFTRotH), poincare (RotH),
+    # lorentz (RotLH).  With the in-kernel gold exclusion the maskless
+    # ranks must EQUAL the masked kernel's (residual risk is exact f32
+    # score ties between distinct non-gold entities — measure-zero at
+    # random params; on-chip WN18RR measured 500/500 identical).
+    from complexhyperbolickge_tpu.train.evaluate import get_ranking
+
+    for name in ("FFTRotH", "RotH", "RotLH"):
+        tag = f"{name}/maskless"
+        try:
+            cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
+                              multi_c=True, bias="learn", dtype="float32")
+            model = get_model(name)(cfg)
+            tr = Trainer(model, TrainConfig(optimizer="Adam",
+                                            learning_rate=1e-3,
+                                            batch_size=64,
+                                            neg_sample_size=8),
+                         n_ent, n_rel)
+            params, _ = tr.init(jax.random.PRNGKey(0))
+            pack = data.eval_pack("test", "rhs")
+            masked = get_ranking(model, params, pack, 32,
+                                 rank_fn=make_best_ranker(model, 32,
+                                                          "pallas"))
+            maskless = get_ranking(model, params, pack, 32,
+                                   rank_fn=make_best_ranker(
+                                       model, 32, "pallas_maskless"))
+            n_diff = int((np.asarray(masked)
+                          != np.asarray(maskless)).sum())
+            assert n_diff == 0, f"{n_diff}/{len(masked)} ranks differ"
+            ok.append(tag)
+            print(f"{tag}: ranks == masked ({len(masked)} queries)",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — report the full matrix
+            failed.append((tag, f"{type(e).__name__}: {e}"))
+            print(f"{tag}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    n_total = len(all_models) + 4 + 3
     print(f"\n{len(ok)}/{n_total} model/loss programs OK on TPU", flush=True)
     if failed:
         raise SystemExit(f"failures: {failed}")
