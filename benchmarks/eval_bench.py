@@ -55,13 +55,17 @@ def main():
     # the fused kernel (a silent fallback would hide kernel rot)
     if jax.devices()[0].platform != "cpu":
         from complexhyperbolickge_tpu.kernels.chyp_rank import PallasChypRanker
-        from complexhyperbolickge_tpu.kernels.hyp_rank import PallasHypRanker
+        from complexhyperbolickge_tpu.kernels.hyp_rank import (
+            PallasAttRHRanker,
+            PallasHypRanker,
+        )
 
+        kernel_types = (PallasChypRanker, PallasHypRanker, PallasAttRHRanker)
         best = make_best_ranker(model, B, "auto")
-        assert not isinstance(best, (PallasChypRanker, PallasHypRanker)), (
+        assert not isinstance(best, kernel_types), (
             "'auto' should select the dense ranker"
         )
-        assert isinstance(pallas, (PallasChypRanker, PallasHypRanker)), (
+        assert isinstance(pallas, kernel_types), (
             f"backend='pallas' built {type(pallas).__name__}"
         )
 

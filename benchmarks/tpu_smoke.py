@@ -105,13 +105,14 @@ def main():
     # programs from the masked ones (gold-excluding tile + flat chunked
     # subtraction, kernels/{chyp,hyp}_rank.py) — one real-chip lowering +
     # exactness check per kernel family: chyp (FFTRotH), poincare (RotH),
-    # lorentz (RotLH).  With the in-kernel gold exclusion the maskless
+    # lorentz (RotLH), attrh two-table (AttRH).  With the in-kernel gold
+    # exclusion the maskless
     # ranks must EQUAL the masked kernel's (residual risk is exact f32
     # score ties between distinct non-gold entities — measure-zero at
     # random params; on-chip WN18RR measured 500/500 identical).
     from complexhyperbolickge_tpu.train.evaluate import get_ranking
 
-    for name in ("FFTRotH", "RotH", "RotLH"):
+    for name in ("FFTRotH", "RotH", "RotLH", "AttRH"):
         tag = f"{name}/maskless"
         try:
             cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=8,
@@ -140,7 +141,7 @@ def main():
             failed.append((tag, f"{type(e).__name__}: {e}"))
             print(f"{tag}: FAILED {type(e).__name__}: {e}", flush=True)
 
-    n_total = len(all_models) + 4 + 3
+    n_total = len(all_models) + 4 + 4
     print(f"\n{len(ok)}/{n_total} model/loss programs OK on TPU", flush=True)
     if failed:
         raise SystemExit(f"failures: {failed}")

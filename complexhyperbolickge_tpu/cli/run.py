@@ -114,11 +114,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ranking path: auto/dense = scatter-free dense XLA "
                         "(exact tie semantics at every scale); pallas = the "
                         "fused VMEM-resident kernel (loud failure if it "
-                        "cannot build); pallas_maskless (CHYP family) = "
-                        "subtract-filtered fused kernel, the fastest "
-                        "measured path at large N (1.23x dense at YAGO "
-                        "scale) at the cost of +-1 rank on exact f32 score "
-                        "ties")
+                        "cannot build); pallas_maskless (every hyperbolic "
+                        "family) = subtract-filtered fused kernel, the "
+                        "fastest measured path at large N (1.2-1.4x dense "
+                        "at YAGO scale), rank-identical to the masked "
+                        "kernel on-chip since the in-kernel gold-tie "
+                        "exclusion (residual +-1 only on exact non-gold "
+                        "f32 ties)")
     p.add_argument("--eval_precision", default="highest",
                    choices=["highest", "default"],
                    help="eval score-matmul MXU precision, all backends: "

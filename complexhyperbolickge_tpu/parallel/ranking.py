@@ -593,11 +593,22 @@ def make_sharded_hyp_ranker(model, mesh, n_entities: int, tile_n: int = 512,
 
 def make_sharded_attrh_ranker(model, mesh, n_entities: int, tile_n: int = 512,
                               interpret: bool = False,
-                              precision: str = "highest"):
+                              precision: str = "highest",
+                              masked: bool = True):
     """Entity-sharded ranking with the fused AttRH tile kernel per shard
     (kernels/hyp_rank.py::attrh_rank_counts): two half-space Poincare
-    distances combined with the relation's learned softmax weights."""
-    from complexhyperbolickge_tpu.kernels.hyp_rank import attrh_rank_counts
+    distances combined with the relation's learned softmax weights.
+
+    masked=False: the per-shard subtract-filtered form
+    (attrh_rank_counts_nomask) over BOTH half tables — same owned-ids f_ok
+    scheme, gold exclusion, and tie story as the other families' sharded
+    maskless rankers.  Pad rows carry bt = -1e30 in BOTH modes (the zero
+    pad rows' two half distances are finite; the masked kernel's pad-row
+    mask bits make the fill a no-op there)."""
+    from complexhyperbolickge_tpu.kernels.hyp_rank import (
+        attrh_rank_counts,
+        attrh_rank_counts_nomask,
+    )
     from complexhyperbolickge_tpu.models.hyperbolic import AttRH
     from complexhyperbolickge_tpu.ops.math import round_up
 
@@ -616,7 +627,7 @@ def make_sharded_attrh_ranker(model, mesh, n_entities: int, tile_n: int = 512,
         rot = jnp.zeros((np_, dp), jnp.float32).at[:n, :half].set(ent[:, :half])
         ref = jnp.zeros((np_, dp), jnp.float32).at[:n, :half].set(ent[:, half:d])
         bt_row, rest = _bt_row_and_rest(model, params, np_, n_entities,
-                                        other, bt_pad_fill=0.0)
+                                        other, bt_pad_fill=-1e30)
         return rot, ref, bt_row, rest
 
     prep_jit = jax.jit(_prep, out_shardings=(
@@ -654,13 +665,30 @@ def make_sharded_attrh_ranker(model, mesh, n_entities: int, tile_n: int = 512,
         if model.cfg.bias == "learn":
             t2 = t2 + _psum_gold_bias(bt_local, q[:, 2], lo, local_np)[:, None]
 
-        mask = _local_pad_filter_mask(fidx, lo, local_np, n_entities, b)
-        counts = attrh_rank_counts(
-            l_rot, l_ref, x2r, x2f, c, w[:, 0:1], w[:, 1:2], t2,
-            rot_local, ref_local, bt_local, mask,
-            tile_n=tile_n, interpret=interpret,
-            precision=precision,
-        )
+        if masked:
+            mask = _local_pad_filter_mask(fidx, lo, local_np, n_entities, b)
+            counts = attrh_rank_counts(
+                l_rot, l_ref, x2r, x2f, c, w[:, 0:1], w[:, 1:2], t2,
+                rot_local, ref_local, bt_local, mask,
+                tile_n=tile_n, interpret=interpret,
+                precision=precision,
+            )
+        else:
+            # subtract-filtered per shard: remap owned filter ids to local
+            # rows; non-owned (incl. pad ids) -> row 0 with f_ok=0 (same
+            # scheme as the other sharded maskless rankers)
+            f = fidx.astype(jnp.int32)
+            owns = (f >= lo) & (f < lo + local_np) & (f < n_entities)
+            f_local = jnp.where(owns, f - lo, 0)
+            counts = attrh_rank_counts_nomask(
+                l_rot, l_ref, x2r, x2f, c, w[:, 0:1], w[:, 1:2], t2,
+                rot_local, ref_local, bt_local, f_local,
+                owns.astype(jnp.float32),
+                _gold_local(q, lo, local_np),
+                tile_n=tile_n, interpret=interpret,
+                precision=precision,
+            )
+            counts = counts + _gold_addback(q, fidx, shard_idx)
         # t2*0: NaN discipline (see kernels/chyp_rank.py::_rank_one)
         return (1.0 + jax.lax.psum(counts, axis_name="model")
                 + (t2[:, 0] * 0.0).astype(jnp.float32))
@@ -716,10 +744,9 @@ def make_best_sharded_ranker(model, mesh, n_entities: int,
     (fastest-or-equal at every measured scale — see make_best_ranker);
     backend='pallas' -> the fused kernel per shard for every hyperbolic
     family (interpret mode off-TPU), failing LOUDLY if it cannot build;
-    backend='pallas_maskless' (CHYP + Poincare/Lorentz families) -> the
-    per-shard subtract-filtered kernel (same speed/tie trade as the
-    single-device maskless ranker; AttRH falls back LOUDLY to its masked
-    kernel — no maskless variant exists for its two-table form).
+    backend='pallas_maskless' (every hyperbolic family, incl. AttRH's
+    two-table form) -> the per-shard subtract-filtered kernel (same
+    speed/tie trade as the single-device maskless ranker).
     precision: MXU contraction mode for the score matmuls on EVERY path
     (see make_best_ranker) — "highest" = exact 6-pass f32 (default),
     "default" = 1-pass bf16."""
@@ -745,16 +772,10 @@ def make_best_sharded_ranker(model, mesh, n_entities: int,
                 masked=backend != "pallas_maskless",
             )
         if isinstance(model, AttRH):
-            if backend == "pallas_maskless":
-                import logging
-
-                logging.warning(
-                    "backend='pallas_maskless' has no AttRH variant (two-"
-                    "table form); using the masked fused kernel per shard",
-                )
             return make_sharded_attrh_ranker(
                 model, mesh, n_entities, interpret=not on_tpu,
                 precision=precision,
+                masked=backend != "pallas_maskless",
             )
         if isinstance(model, (BaseH, BaseLorentz)):
             return make_sharded_hyp_ranker(

@@ -174,9 +174,13 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
     and 1.2x ahead at YAGO (121-127k vs 96-103k: the masked kernel streams
     a (B, N) int8 filter mask that grows with N), benchmarks/eval_bench.py.
     The round-4 'pallas_maskless' kernel beats dense outright (1.09x
-    WN18RR, 1.26x/1.38x-scan YAGO) but costs +-1 rank on exact f32 score
-    ties, so 'auto' deliberately does NOT select it — exactness wins by
-    default and the throughput mode stays opt-in.  The masked kernels
+    WN18RR, 1.19-1.26x/1.35-1.38x-scan YAGO) and, with the in-kernel
+    gold-tie exclusion, measured rank-identical to the masked kernel
+    500/500 on-chip at both scales; its residual +-1 risk (exact f32 ties
+    between distinct non-gold entities across the tile-vs-flat dot shapes)
+    is the same class in which masked-vs-dense itself differs, but 'auto'
+    still deliberately does NOT select it — exact dense-tie semantics win
+    by default and the throughput mode stays opt-in.  The masked kernels
     remain available (backend='pallas', every hyperbolic family) as the
     VMEM-resident form and as a cross-check.
 
@@ -209,13 +213,12 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
             from complexhyperbolickge_tpu.kernels import make_pallas_ranker
 
             # 'pallas_maskless' (CHYP family): subtract-filtered counting
-            # with NO (B, N) mask build/stream — measured 1.23x the dense
-            # ranker at YAGO scale and 1.09x at WN18RR (2026-08-19,
-            # benchmarks/eval_bench.py).  Costs +-1 rank on exact f32
-            # score ties (~like-for-like MXU rounding between the tile
-            # sweep and the flat filtered-score recomputation); the exact
-            # in-kernel subtraction would add ~B*L/N extra tile work
-            # (+79% at WN18RR), erasing the win — see PERF_ANALYSIS §2b.
+            # with NO (B, N) mask build/stream — measured 1.19-1.26x the
+            # dense ranker at YAGO scale and 1.09x at WN18RR (2026-08-19,
+            # benchmarks/eval_bench.py), rank-identical to the masked
+            # kernel 500/500 on-chip since the in-kernel gold-tie
+            # exclusion; residual +-1 risk is exact non-gold f32 ties
+            # only — see PERF_ANALYSIS §2b.
             return make_pallas_ranker(model, eval_batch_size,
                                       interpret=not on_tpu,
                                       precision=precision,
@@ -227,22 +230,22 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
             return make_pallas_hyp_ranker(model, eval_batch_size,
                                           interpret=not on_tpu,
                                           precision=precision, masked=False)
-        if backend == "pallas_maskless":
-            import logging
-
-            logging.warning(
-                "backend='pallas_maskless' has no %s variant (AttRH's "
-                "two-table form was not built); using the masked fused "
-                "kernel", type(model).__name__,
-            )
         if isinstance(model, AttRH):
             from complexhyperbolickge_tpu.kernels import (
                 make_pallas_attrh_ranker,
             )
 
-            return make_pallas_attrh_ranker(model, eval_batch_size,
-                                            interpret=not on_tpu,
-                                            precision=precision)
+            return make_pallas_attrh_ranker(
+                model, eval_batch_size, interpret=not on_tpu,
+                precision=precision,
+                masked=backend != "pallas_maskless")
+        if backend == "pallas_maskless":
+            import logging
+
+            logging.warning(
+                "backend='pallas_maskless' has no %s variant; using the "
+                "masked fused kernel", type(model).__name__,
+            )
         if isinstance(model, (BaseH, BaseLorentz)):
             from complexhyperbolickge_tpu.kernels import make_pallas_hyp_ranker
 

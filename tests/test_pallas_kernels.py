@@ -145,10 +145,14 @@ def test_pallas_attrh_ranker_matches_dense(direction):
     pack = data.eval_pack("test", direction)
     dense = get_ranking(model, params, pack, batch_size=64)
     ranker = make_pallas_attrh_ranker(model, 64, interpret=True)
-    ranks = np.asarray(
-        ranker(params, jnp.asarray(pack.queries), jnp.asarray(pack.filter_idx))
-    )
+    q, f = jnp.asarray(pack.queries), jnp.asarray(pack.filter_idx)
+    ranks = np.asarray(ranker(params, q, f))
     _assert_ranks_match(ranks, dense)
+    # maskless (subtract-filtered over BOTH half tables, round 4): exact vs
+    # masked on CPU — same flat-dot arithmetic + shared two-half epilogue
+    maskless = make_pallas_attrh_ranker(model, 64, interpret=True,
+                                        masked=False)
+    np.testing.assert_array_equal(np.asarray(maskless(params, q, f)), ranks)
 
 
 def test_best_ranker_selects_attrh_kernel():
@@ -197,12 +201,15 @@ def test_best_ranker_selects_pallas_when_forced():
 
 
 def test_best_ranker_pallas_maskless_policy():
-    """backend='pallas_maskless' (CHYP family): the subtract-filtered fused
-    kernel — masked=False, the fastest measured eval path at YAGO scale
-    (benchmarks/eval_bench.py, round 4).  Non-CHYP families fall back to
-    their masked fused kernel (no maskless variant exists for them)."""
+    """backend='pallas_maskless': the subtract-filtered fused kernel —
+    masked=False for EVERY hyperbolic family (incl. AttRH's two-table
+    form), the fastest measured eval path at YAGO scale
+    (benchmarks/eval_bench.py, round 4)."""
     from complexhyperbolickge_tpu.kernels.chyp_rank import PallasChypRanker
-    from complexhyperbolickge_tpu.kernels.hyp_rank import PallasHypRanker
+    from complexhyperbolickge_tpu.kernels.hyp_rank import (
+        PallasAttRHRanker,
+        PallasHypRanker,
+    )
     from complexhyperbolickge_tpu.train.evaluate import make_best_ranker
 
     r = make_best_ranker(_tiny_model("FFTRotH"), 8, "pallas_maskless")
@@ -210,12 +217,8 @@ def test_best_ranker_pallas_maskless_policy():
     for name in ("RotH", "RotLH"):
         r = make_best_ranker(_tiny_model(name, 8), 8, "pallas_maskless")
         assert isinstance(r, PallasHypRanker) and r.masked is False, name
-    # AttRH has no maskless variant: falls back to its masked kernel
-    from complexhyperbolickge_tpu.kernels.hyp_rank import PallasAttRHRanker
-
-    assert isinstance(
-        make_best_ranker(_tiny_model("AttRH", 8), 8, "pallas_maskless"),
-        PallasAttRHRanker)
+    r = make_best_ranker(_tiny_model("AttRH", 8), 8, "pallas_maskless")
+    assert isinstance(r, PallasAttRHRanker) and r.masked is False
 
 
 def test_best_ranker_auto_policy(monkeypatch):
@@ -339,6 +342,23 @@ def test_maskless_gold_not_in_filters_adds_one(setup):
     hdense = np.asarray(make_ranker(hmodel, len(q))(hparams, q, f))
     hml = make_pallas_hyp_ranker(hmodel, 64, interpret=True, masked=False)
     np.testing.assert_array_equal(np.asarray(hml(hparams, q, f)), hdense)
+
+    # AttRH's two-table form has its own addback path
+    from complexhyperbolickge_tpu.kernels import make_pallas_attrh_ranker
+
+    acfg = ModelConfig(n_entities=model.cfg.n_entities,
+                       n_relations=model.cfg.n_relations, rank=8,
+                       multi_c=True, dtype="float32")
+    amodel = get_model("AttRH")(acfg)
+    rng = np.random.default_rng(43)
+    aparams = {
+        k: jnp.asarray(rng.uniform(-0.5, 0.5, size=shape), dtype=jnp.float32)
+        for k, (shape, _) in amodel.param_specs().items()
+    }
+    aparams["c"] = jnp.abs(aparams["c"]) + 0.5
+    adense = np.asarray(make_ranker(amodel, len(q))(aparams, q, f))
+    aml = make_pallas_attrh_ranker(amodel, 64, interpret=True, masked=False)
+    np.testing.assert_array_equal(np.asarray(aml(aparams, q, f)), adense)
 
 
 def test_maskless_ranker_matches_masked(setup):

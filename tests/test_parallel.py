@@ -9,9 +9,6 @@ handled by zero-padding the entity tables (parallel/mesh.py::pad_entity_tree)
 with pad rows masked out of scores/losses.
 """
 
-import logging
-from contextlib import contextmanager
-
 import numpy as np
 import pytest
 
@@ -949,10 +946,10 @@ def test_sharded_hyp_family_maskless_matches_dense(data, name, rank):
     np.testing.assert_array_equal(rm, dense_ranks[: nb * 16])
 
 
-def test_sharded_attrh_maskless_falls_back_to_masked(data):
-    """AttRH has no maskless variant (two-table form): the sharded selector
-    must fall back LOUDLY to the masked fused kernel and still reproduce
-    dense filtered ranks."""
+def test_sharded_attrh_maskless_matches_dense(data):
+    """AttRH's sharded maskless variant (round 4: subtract-filtered over
+    BOTH half tables per shard) must reproduce dense filtered ranks —
+    exactly on CPU, like the other families."""
     from complexhyperbolickge_tpu.parallel import make_best_sharded_ranker
 
     n_ent, n_rel, _ = data.get_shape()
@@ -969,31 +966,19 @@ def test_sharded_attrh_maskless_falls_back_to_masked(data):
     mesh = make_mesh((2, 4))
     pack = data.eval_pack("test", "rhs")
     dense_ranks = get_ranking(model, params, pack, batch_size=16)
-    with _capture_warnings() as records:
-        ranker = make_best_sharded_ranker(model, mesh, N_ENT,
-                                          backend="pallas_maskless")
-    assert any("no AttRH variant" in r.getMessage() for r in records)
-    r = np.asarray(ranker(shard_params(params, mesh),
-                          jnp.asarray(pack.queries),
+    ranker = make_best_sharded_ranker(model, mesh, N_ENT,
+                                      backend="pallas_maskless")
+    sp = shard_params(params, mesh)
+    r = np.asarray(ranker(sp, jnp.asarray(pack.queries),
                           jnp.asarray(pack.filter_idx)))
     np.testing.assert_array_equal(r, dense_ranks)
 
-
-@contextmanager
-def _capture_warnings():
-    """Collect logging.WARNING records emitted while building a ranker."""
-    records = []
-
-    class _H(logging.Handler):
-        def emit(self, rec):
-            records.append(rec)
-
-    h = _H(level=logging.WARNING)
-    logging.getLogger().addHandler(h)
-    try:
-        yield records
-    finally:
-        logging.getLogger().removeHandler(h)
+    # whole-split scan form (the production compute_metrics path)
+    nb = len(pack.queries) // 16
+    qb = jnp.asarray(pack.queries[: nb * 16].reshape(nb, 16, 3))
+    fb = jnp.asarray(pack.filter_idx[: nb * 16].reshape(nb, 16, -1))
+    rm = np.asarray(ranker.rank_many(sp, qb, fb)).reshape(-1)
+    np.testing.assert_array_equal(rm, dense_ranks[: nb * 16])
 
 
 @pytest.mark.parametrize("bias,gamma", [("none", 0.0), ("constant", 0.7)])
