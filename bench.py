@@ -26,9 +26,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 BENCH_TUNNEL_WAIT_S (default 3600) for a subprocess probe to round-trip
 before measuring, so a transient relay outage at bench time doesn't lose
 the run.  Set BENCH_SECONDARY=0 to skip the secondary measurements
-(five extra compiles through the remote tunnel: per_query reference-
-semantics sampling, all-entity cross-entropy, whole-split filtered eval,
-full-graph CompGCN training, and the batch-8000 scaling ceiling).
+(six extra compiles through the remote tunnel: per_query reference-
+semantics sampling, all-entity cross-entropy, whole-split filtered eval
+(dense + the opt-in maskless fused kernel), full-graph CompGCN training,
+and the batch-8000 scaling ceiling).
 """
 
 from __future__ import annotations
@@ -202,9 +203,10 @@ def main():
     # nothing below may lose it: a SIGALRM watchdog converts a wedged-tunnel
     # hang into an exception, and any secondary failure is recorded in the
     # tail instead of propagating (measured full run ~25 min nominal).
-    # five secondaries now (eval + GNN added round 4, verdict item 6): the
-    # default budget covers them at nominal tunnel latency; the per-item
-    # elapsed gate sheds from the tail (b8000 first) when compiles run long
+    # six secondaries now (eval + GNN added round 4 per verdict item 6,
+    # maskless eval late round 4): the default budget covers them at
+    # nominal tunnel latency; the per-item elapsed gate sheds from the
+    # tail (b8000 first) when compiles run long
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
     if os.environ.get("BENCH_SECONDARY", "1") != "0" \
             and time.perf_counter() - t_start < budget_s * 0.6:
@@ -262,6 +264,27 @@ def main():
                     etr.append(nq / (time.perf_counter() - t0))
                 secondary["eval_queries_per_sec"] = round(
                     float(np.median(etr)), 1)
+            if "eval_queries_per_sec" in secondary \
+                    and time.perf_counter() - t_start < budget_s:
+                # opt-in fast eval path (--eval_backend pallas_maskless):
+                # subtract-filtered fused kernel with in-kernel gold-tie
+                # exclusion — rank-identical to the masked kernel on-chip,
+                # 1.09x dense at WN18RR / 1.35-1.38x at YAGO scan shapes.
+                # Driver-tracked so a maskless-kernel regression between
+                # rounds is visible; reuses the dense block's pack/params.
+                from complexhyperbolickge_tpu.train.evaluate import (
+                    make_best_ranker)
+
+                ml_fn = make_best_ranker(model, BATCH, "pallas_maskless")
+                get_ranking(model, eval_params, pack, BATCH, rank_fn=ml_fn)
+                mtr = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    get_ranking(model, eval_params, pack, BATCH,
+                                rank_fn=ml_fn)
+                    mtr.append(nq / (time.perf_counter() - t0))
+                secondary["eval_maskless_queries_per_sec"] = round(
+                    float(np.median(mtr)), 1)
             if time.perf_counter() - t_start < budget_s:
                 # GNN path (verdict item 6): full-graph CompGCN training at
                 # WN18RR scale — the gnn_train_bench.py README-row config
