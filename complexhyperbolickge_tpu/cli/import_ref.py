@@ -37,7 +37,7 @@ import os
 
 import numpy as np
 
-GNN_MODELS = ("CompGCN", "PoincareGCN", "LorentzGCN")
+GNN_MODELS = ("CompGCN", "PoincareGCN", "PoincareGAT", "LorentzGCN")
 
 
 def import_reference(ref_dir: str, out: str, data_path: str | None = None,

@@ -166,6 +166,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--interaction", default="distmult",
                    choices=["distmult", "transe"])
     p.add_argument("--basis", default=0, type=int)
+    p.add_argument("--gnn_agg_method", default=1, type=int, choices=[1, 2, 3],
+                   help="PoincareGCN aggregation: 1 = tangent + gyro-midpoint"
+                        " self-loop mix (reference default), 2 = joint"
+                        " gyromidpoint over edges+loops, 3 = per-direction"
+                        " 1/deg means (reference poincaregnn.py:195-216)")
     return p
 
 
@@ -237,7 +242,8 @@ def build_model(args, dataset: KGData):
         dropout=args.dropout,
     )
     cls = get_model(args.model)
-    if args.model in ("PoincareGCN", "LorentzGCN", "CompGCN"):
+    from complexhyperbolickge_tpu.models import GNN_MODELS
+    if args.model in GNN_MODELS:
         return cls(cfg, args, dataset)
     return cls(cfg)
 

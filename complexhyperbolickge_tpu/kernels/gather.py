@@ -13,10 +13,11 @@ list, versus XLA's fused gather.  benchmarks/gather_bench.py runs the A/B
 at the exact encoder shapes; see the ledger for the verdict.
 
 Layout note: Mosaic rejects (1, H) VMEM DMA destinations (sublane tiling
-is 8), so rows are padded to LANE_PAD floats and both the table and the
-output are addressed FLAT (1-D), where a LANE_PAD-aligned slice is a legal
-DMA target.  The pad inflates moved bytes by LANE_PAD/H (1.28x at H=200) —
-charged against the kernel in the benchmark's GB/s accounting.
+is 8), so rows are padded to a 1024-float (4 KB tile) DMA unit —
+round_up(h, 1024) — and both the table and the output are addressed FLAT
+(1-D), where a tile-aligned slice is a legal DMA target.  The pad inflates
+moved bytes by ~5.1x over the 800 B row at H=200 — charged against the
+kernel in the benchmark's GB/s accounting.
 
 Reference counterpart: the torch_scatter gathers inside
 /root/reference/models/messagepassing.py:37-117.

@@ -1,6 +1,7 @@
 """Model registry.
 
-Mirrors the reference registry (models/__init__.py:9): 24 model names =
+Mirrors the reference registry (models/__init__.py:9), plus PoincareGAT
+(present-but-unregistered in the reference, poincaregnn.py:551): 25 names =
 EUC + HYP + COMPLEX + CHYP + HYP_GNN + EUC_GNN.  The GNN encoder models
 (PoincareGCN, LorentzGCN, CompGCN) take the KG graph structure in addition
 to the config; see models/gnn/.
@@ -48,7 +49,7 @@ from complexhyperbolickge_tpu.models.hyperbolic import (  # noqa: F401
 # GNN models are registered lazily (they need graph data at construction and
 # live in a separate module); names kept in the registry for parity with the
 # reference's all_models list.
-GNN_MODELS = ["PoincareGCN", "LorentzGCN", "CompGCN"]
+GNN_MODELS = ["PoincareGCN", "PoincareGAT", "LorentzGCN", "CompGCN"]
 
 all_models = EUC_MODELS + HYP_MODELS + COMPLEX_MODELS + CHYP_MODELS + GNN_MODELS
 

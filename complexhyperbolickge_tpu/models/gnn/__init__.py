@@ -3,5 +3,6 @@ from complexhyperbolickge_tpu.models.gnn.models import (  # noqa: F401
     CompGCN,
     GNNModel,
     LorentzGCN,
+    PoincareGAT,
     PoincareGCN,
 )

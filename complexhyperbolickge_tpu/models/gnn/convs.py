@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from complexhyperbolickge_tpu.models.gnn import message as M
 from complexhyperbolickge_tpu.ops import hyperbolic as H
 from complexhyperbolickge_tpu.ops.euclidean import givens_rotations
-from complexhyperbolickge_tpu.ops.math import pinned_mm
+from complexhyperbolickge_tpu.ops.math import mm_precision, pinned_mm
 
 
 def _xavier(key, shape, dtype=jnp.float32):
@@ -199,15 +199,28 @@ class CompGCNConv:
 
 
 class PoincareConv:
-    """Poincare-ball conv (reference poincaregnn.py:19-294, method-1
-    aggregation): RotH-style relation transform per edge in the tangent
-    space, symmetric-normalized tangent aggregation, gyro-midpoint mixing
-    with the self-loop message, relation/curvature update by learned MLPs."""
+    """Poincare-ball conv (reference poincaregnn.py:19-294): RotH-style
+    relation transform per edge in the tangent space, then one of the
+    reference's three aggregation methods (poincaregnn.py:132 hardcodes
+    method 1; 2 and 3 are its alternate code paths at lines 195-216,
+    selectable here via agg_method / the --gnn_agg_method CLI flag):
 
-    def __init__(self, d_in, d_out, d_in_r, d_out_r, act, dropout=0.0):
+      1: symmetric-normalized tangent aggregation, gyro-midpoint mixing
+         with the self-loop message (poincaregnn.py:141-191);
+      2: gyromidpoint over [edges; self-loops] jointly in hyperbolic space
+         (poincaregnn.py:195-199 + update() at 221-241);
+      3: per-direction 1/deg tangent means, 1/3 mix with the self-loop
+         message (poincaregnn.py:201-216).
+
+    Relation/curvature update by learned MLPs in all methods."""
+
+    def __init__(self, d_in, d_out, d_in_r, d_out_r, act, dropout=0.0,
+                 agg_method: int = 1):
         self.d_in, self.d_out = d_in, d_out
         self.d_in_r, self.d_out_r = d_in_r, d_out_r
         self.act, self.dropout = act, dropout
+        assert agg_method in (1, 2, 3), agg_method
+        self.agg_method = agg_method
 
     def init(self, key):
         ks = jax.random.split(key, 8)
@@ -297,8 +310,81 @@ class PoincareConv:
         msg_loop = self._message(p, x, None, None, None, "loop")
 
         msgs = jnp.concatenate([msg_in, msg_out], axis=0)
+        return self._mix(p, msgs, msg_loop, head, tail, edge_w, n_ent, lc,
+                         sorted_halves=True)
+
+    def _mix(self, p, msgs, msg_loop, head, tail, edge_w, n_ent, lc,
+             sorted_halves=False, dir_w=None):
+        """Dispatch to the selected reference aggregation method."""
+        if self.agg_method == 2:
+            return self._aggregate_gyromidpoint(p, msgs, msg_loop, head,
+                                                edge_w, n_ent, lc)
+        if self.agg_method == 3:
+            return self._aggregate_thirds(msgs, msg_loop, head, edge_w, n_ent,
+                                          sorted_halves=sorted_halves,
+                                          dir_w=dir_w)
         return self._aggregate_and_mix(p, msgs, msg_loop, head, tail, edge_w,
-                                       n_ent, lc, sorted_halves=True)
+                                       n_ent, lc, sorted_halves=sorted_halves)
+
+    def _gyromidpoint_update(self, out, edge_norm, idx, lc, n_ent):
+        """Weighted Einstein/gyro-midpoint of hyperbolic points, back to the
+        tangent plane (reference update(), poincaregnn.py:221-241).  Shape-
+        generic: (M, D) rows or (M, K, D) per-head rows, weights matching
+        with a trailing 1 axis; segment index idx over axis 0."""
+        out = H.expmap0(out, lc)
+        gamma = 2.0 / (1.0 - lc * jnp.sum(out * out, axis=-1, keepdims=True))
+        den = M.segment_sum(edge_norm * (gamma - 1.0), idx, n_ent)
+        den = den[idx] + 1e-5
+        wts = gamma * edge_norm / den
+        agg = M.segment_sum(wts * out, idx, n_ent)
+        factor = 1.0 / (
+            1.0 + jnp.sqrt(1.0 - lc * jnp.sum(agg * agg, axis=-1,
+                                              keepdims=True))
+        )
+        return H.logmap0(factor * agg, lc)
+
+    def _aggregate_gyromidpoint(self, p, msgs, msg_loop, head, edge_w, n_ent,
+                                lc):
+        """Reference method 2 (poincaregnn.py:195-199): gyromidpoint over
+        the [edges; self-loops] union with 1/deg weights.  Every node has a
+        weight-1 loop entry, so segments are never empty; dropped edges
+        carry weight 0 through the norm exactly like physically-removed
+        edges do in the reference."""
+        dtype = msgs.dtype
+        idx = jnp.concatenate([head, jnp.arange(n_ent, dtype=head.dtype)])
+        w = jnp.concatenate([edge_w, jnp.ones((n_ent,), dtype)])
+        all_msgs = jnp.concatenate([msgs, msg_loop], axis=0)
+        deg = M.segment_sum(w, idx, n_ent)
+        deg_inv = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-30), 0.0)
+        norm = (deg_inv[idx] * w)[:, None]
+        return self._gyromidpoint_update(all_msgs, norm, idx, lc, n_ent)
+
+    def _aggregate_thirds(self, msgs, msg_loop, head, edge_w, n_ent,
+                          sorted_halves=False, dir_w=None):
+        """Reference method 3 (poincaregnn.py:201-216): per-direction 1/deg
+        tangent means, mixed 1/3 each with the self-loop message.  In the
+        masked (subgraph) layout the in/out split is the per-edge dir_w
+        mask; the per-direction edge weight zeroes the other direction's
+        contribution exactly like the reference's index split."""
+        if dir_w is None:  # [forward; inverse] halves layout
+            half = head.shape[0] // 2
+
+            def half_mean(sl):
+                n = M.compute_norm(head[sl], edge_w[sl], n_ent,
+                                   indices_are_sorted=sorted_halves)
+                return M.segment_sum(n[:, None] * msgs[sl], head[sl], n_ent,
+                                     indices_are_sorted=sorted_halves)
+
+            agg_in = half_mean(slice(0, half))
+            agg_out = half_mean(slice(half, None))
+        else:
+            def dir_mean(w):
+                n = M.compute_norm(head, w, n_ent)
+                return M.segment_sum(n[:, None] * msgs, head, n_ent)
+
+            agg_in = dir_mean(edge_w * dir_w)
+            agg_out = dir_mean(edge_w * (1.0 - dir_w))
+        return (agg_in + agg_out + msg_loop) / 3.0
 
     def _aggregate_and_mix(self, p, msgs, msg_loop, head, tail, edge_w, n_ent,
                            lc, sorted_halves=False):
@@ -343,8 +429,8 @@ class PoincareConv:
         m_out = self._message(p, x[tail], et_out, out_rel, c_out, "out")
         msgs = dir_w[:, None] * m_in + (1.0 - dir_w[:, None]) * m_out
         msg_loop = self._message(p, x, None, None, None, "loop")
-        out = self._aggregate_and_mix(p, msgs, msg_loop, head, tail, edge_w,
-                                      n_ent, lc)
+        out = self._mix(p, msgs, msg_loop, head, tail, edge_w, n_ent, lc,
+                        dir_w=dir_w)
         if self.act is not None:
             out = self.act(out)
         if key is not None and self.dropout > 0:
@@ -369,6 +455,12 @@ class LorentzConv(PoincareConv):
     """Hyperboloid conv (reference lorentzgnn.py:18-232): boost-based
     relation transform, 1/deg tangent aggregation, Lorentz-centroid mixing
     with the self-loop message."""
+
+    def __init__(self, *args, **kwargs):
+        assert kwargs.get("agg_method", 1) == 1, (
+            "LorentzConv has only the centroid aggregation "
+            "(reference lorentzgnn.py:117-143 — no method-2/3 branches)")
+        super().__init__(*args, **kwargs)
 
     def _rel_transform(self, ent, rel_emb, c):
         """Boost-rotate-boost (lorentzgnn.py:181-205)."""
@@ -448,3 +540,186 @@ class LorentzConv(PoincareConv):
         if mode == "in":  # forward edges processed as 'in' use type + half
             return jnp.where(dir_w > 0.5, etype + half, etype)
         return jnp.where(dir_w > 0.5, etype, etype - half)
+
+
+# ------------------------------ PoincareGATConv -------------------------------
+
+
+def _xavier_normal_torch(key, shape, dtype=jnp.float32):
+    """torch.nn.init.xavier_normal_ fan computation for >=2-D tensors:
+    fan_in = shape[1] * prod(shape[2:]), fan_out = shape[0] * prod(shape[2:])."""
+    rf = math.prod(shape[2:]) if len(shape) > 2 else 1
+    std = math.sqrt(2.0 / ((shape[0] + shape[1]) * rf))
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class PoincareGATConv(PoincareConv):
+    """Multi-head attention variant of PoincareConv (reference
+    poincaregnn.py:296-463 — present but UNREGISTERED dead code at reference
+    HEAD; implemented here as a first-class conv, numeric-parity-tested
+    against the executed reference class).
+
+    Per-head (heads=4) messages through (K, d_in, out_att) weights with the
+    reference's positional type-swap quirk (forward edges message with the
+    inverse relation's embedding, poincaregnn.py:350-355 — expressed per
+    edge as type +- n_rel/2 since our halves are sorted, not edge-aligned);
+    LeakyReLU additive attention a_h.loop(head) + a_t.msg + a_r.W_r(rel)
+    with a scatter-softmax over [edges; self-loops] per receiving node
+    (compute_norm, poincaregnn.py:418-453); gyromidpoint update per head
+    (inherited update semantics); head gather = mean or concat
+    (poincaregnn.py:388-391).  The relation stream is PoincareConv's
+    (inherited forward/_update_rel)."""
+
+    def __init__(self, d_in, d_out, d_in_r, d_out_r, act, dropout=0.0,
+                 gather="mean", heads=4, agg_method: int = 1):
+        assert agg_method == 1, (
+            "the reference PoincareGATConv.propagate has only the method-1 "
+            "branch (poincaregnn.py:359-396)")
+        super().__init__(d_in, d_out, d_in_r, d_out_r, act, dropout=dropout,
+                         agg_method=agg_method)
+        assert gather in ("mean", "concat"), gather
+        self.gather, self.heads = gather, heads
+        self.out_att = d_out if gather == "mean" else d_out // heads
+        assert self.out_att * (1 if gather == "mean" else heads) == d_out
+        assert self.out_att % 2 == 0, (
+            "per-head width must be even (Givens rotations act on pairs); "
+            f"got out_att={self.out_att} from d_out={d_out}, gather={gather}")
+
+    def init(self, key):
+        p = super().init(key)
+        K, oa = self.heads, self.out_att
+        ks = jax.random.split(jax.random.fold_in(key, 17), 9)
+        # per-head projections replace the single-head ones
+        # (poincaregnn.py:306-312; xavier_uniform -> same scale family here)
+        p["w_loop"] = _xavier(ks[0], (K, self.d_in, oa))
+        p["w_in"] = _xavier(ks[1], (K, self.d_in, oa))
+        p["w_out"] = _xavier(ks[2], (K, self.d_in, oa))
+        p["b_loop"] = jnp.zeros((K, oa))
+        p["b_in"] = jnp.zeros((K, oa))
+        p["b_out"] = jnp.zeros((K, oa))
+        # loop_rel / w_k_r keep torch.randn N(0,1): the reference never
+        # re-initializes them (poincaregnn.py:304,315 vs 323-334)
+        p["loop_rel"] = jax.random.normal(ks[3], (1, 3 * oa))
+        p["w_k_r"] = jax.random.normal(ks[4], (K, 3 * self.d_out, 3 * oa))
+        p["W_r"] = _xavier(ks[5], (K, 3 * oa, oa))
+        p["a_h"] = _xavier_normal_torch(ks[6], (1, K, oa))
+        p["a_r"] = _xavier_normal_torch(ks[7], (1, K, oa))
+        p["a_t"] = _xavier_normal_torch(ks[8], (1, K, oa))
+        return p
+
+    def _message(self, p, x_j, etype, relh, curv, mode):
+        """Per-head message (poincaregnn.py:398-416).  relh is the per-head
+        projected relation table (Nr, K, 3*out_att); etype arrives already
+        direction-swapped by the caller."""
+        lc = jax.nn.softplus(p["loop_curvature"])
+        xj = jnp.einsum("ed,kdo->eko", x_j, p["w_" + mode],
+                        precision=mm_precision())
+        xj = H.expmap0(xj, lc)
+        bias = H.expmap0(p["b_" + mode], lc)
+        xj = H.project(H.mobius_add(xj, bias, lc), lc)
+        xj = H.logmap0(xj, lc)
+        if mode != "loop":
+            c = curv[etype][:, None, :]  # (E,1,1): broadcast over heads
+            xj = self._rel_transform(xj, relh[etype], c)
+        return xj
+
+    def _propagate(self, p, x, edges, rel, curv, edge_w):
+        head, tail, etype = edges
+        n_ent, e = x.shape[0], head.shape[0]
+        half = e // 2
+        half_rel = rel.shape[0] // 2
+        lc = jax.nn.softplus(p["loop_curvature"])
+        relh = jnp.einsum("nd,kde->nke", rel, p["w_k_r"],
+                          precision=mm_precision())  # (Nr, K, 3*out_att)
+        # positional type-swap quirk (poincaregnn.py:350-355), per edge
+        msg_in = self._message(p, x[tail[:half]], etype[:half] + half_rel,
+                               relh, curv, "in")
+        msg_out = self._message(p, x[tail[half:]], etype[half:] - half_rel,
+                                relh, curv, "out")
+        msg_loop = self._message(p, x, None, None, None, "loop")
+        msgs = jnp.concatenate([msg_in, msg_out], axis=0)  # (E, K, d)
+        # the attention relation term uses the UNSWAPPED edge type
+        # (compute_norm receives propagate's own edge_type, :365-371)
+        return self._attend_and_update(p, msgs, msg_loop, head, etype, relh,
+                                       edge_w, n_ent, lc)
+
+    def _attend_and_update(self, p, msgs, msg_loop, head, etype, relh, edge_w,
+                           n_ent, lc):
+        """Scatter-softmax attention + per-head gyromidpoint update + head
+        gather (poincaregnn.py:363-391 and 418-453)."""
+        dtype = msgs.dtype
+        prec = mm_precision()
+        idx = jnp.concatenate([head, jnp.arange(n_ent, dtype=head.dtype)])
+        w_all = jnp.concatenate([edge_w, jnp.ones((n_ent,), dtype)])
+        h_all = jnp.concatenate([msgs, msg_loop], axis=0)  # (E+N, K, d)
+
+        r_proj = jnp.einsum("nke,keo->nko", relh, p["W_r"], precision=prec)
+        r_self = jnp.einsum("e,keo->ko", p["loop_rel"][0], p["W_r"],
+                            precision=prec)  # (K, oa)
+
+        a_head = jnp.sum(p["a_h"] * msg_loop, axis=-1, keepdims=True)  # (N,K,1)
+        a = a_head[idx] + jnp.sum(p["a_t"] * h_all, axis=-1, keepdims=True)
+        r_edge = jnp.sum(p["a_r"] * r_proj, axis=-1, keepdims=True)[etype]
+        r_loop = jnp.broadcast_to(
+            jnp.sum(p["a_r"][0] * r_self, axis=-1, keepdims=True)[None],
+            (n_ent, self.heads, 1),
+        )
+        a = a + jnp.concatenate([r_edge, r_loop], axis=0)
+        a = jax.nn.leaky_relu(a, 0.2)
+        # scatter-softmax per receiving node; dropped edges (weight 0) are
+        # excluded from max and sum exactly like the reference's physically
+        # removed edges.  Loop entries keep every segment non-empty.
+        a_m = jnp.where(w_all[:, None, None] > 0, a,
+                        jnp.asarray(-1e30, dtype))
+        mx = M.segment_max(a_m[..., 0], idx, n_ent)  # (N, K)
+        aexp = jnp.exp(a_m - mx[idx][..., None]) * w_all[:, None, None]
+        ssum = M.segment_sum(aexp, idx, n_ent)
+        alpha = aexp / (ssum[idx] + 1e-8)
+
+        out = self._gyromidpoint_update(h_all, alpha, idx, lc, n_ent)
+        if self.gather == "mean":
+            return jnp.mean(out, axis=1)
+        return out.reshape(n_ent, -1)
+
+    def apply_masked(self, p, x, edges, rel_pack, edge_w, dir_w, node_w,
+                     key=None):
+        """Subgraph variant (sampled edges, per-edge dir_w direction mask).
+        No reference counterpart exists (KGOptimizerSubgraph never ran the
+        unregistered GAT); semantics mirror apply() with the per-edge
+        direction blend used by the other convs."""
+        rel, curv_raw = rel_pack
+        head, tail, etype = edges
+        n_ent = x.shape[0]
+        lc = jax.nn.softplus(p["loop_curvature"])
+
+        out_rel, c_out, c_out_raw = self._update_rel(p, rel, curv_raw)
+        relh = jnp.einsum("nd,kde->nke", out_rel, p["w_k_r"],
+                          precision=mm_precision())
+        et_in = self._etype_for(etype, dir_w, rel.shape[0], "in")
+        et_out = self._etype_for(etype, dir_w, rel.shape[0], "out")
+        m_in = self._message(p, x[tail], et_in, relh, c_out, "in")
+        m_out = self._message(p, x[tail], et_out, relh, c_out, "out")
+        d3 = dir_w[:, None, None]
+        msgs = d3 * m_in + (1.0 - d3) * m_out
+        msg_loop = self._message(p, x, None, None, None, "loop")
+        out = self._attend_and_update(p, msgs, msg_loop, head, etype, relh,
+                                      edge_w, n_ent, lc)
+        if self.act is not None:
+            out = self.act(out)
+        if key is not None and self.dropout > 0:
+            k1, k2 = jax.random.split(key)
+            out = M.dropout(k1, out, self.dropout)
+            out_rel = M.dropout(k2, out_rel, self.dropout)
+        return out, (out_rel, c_out_raw)
+
+    def _etype_for(self, etype, dir_w, n_rel, mode):
+        """Positional type-swap per edge in the masked layout (same quirk
+        class as LorentzConv; poincaregnn.py:350-355)."""
+        half = n_rel // 2
+        if mode == "in":
+            return jnp.where(dir_w > 0.5, etype + half, etype)
+        return jnp.where(dir_w > 0.5, etype, etype - half)
+
+    def regularizable(self, p):
+        return [p["w_loop"], p["w_in"], p["w_out"], p["w_rel"]["w"],
+                p["w_k_r"], p["W_r"]]

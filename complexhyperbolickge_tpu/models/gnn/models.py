@@ -26,13 +26,18 @@ import numpy as np
 
 from complexhyperbolickge_tpu.models.base import KGModel, ModelConfig, dot_all, dot_train, neg_sq_dist
 from complexhyperbolickge_tpu.models.gnn import message as M
-from complexhyperbolickge_tpu.models.gnn.convs import CompGCNConv, LorentzConv, PoincareConv
+from complexhyperbolickge_tpu.models.gnn.convs import (
+    CompGCNConv,
+    LorentzConv,
+    PoincareConv,
+    PoincareGATConv,
+)
 from complexhyperbolickge_tpu.ops import hyperbolic as H
 from complexhyperbolickge_tpu.ops.euclidean import givens_rotations
 from complexhyperbolickge_tpu.ops.math import pinned_mm
 from complexhyperbolickge_tpu.ops.math import tanh as _tanh  # ref ±15 clamp
 
-GNN_MODELS = ["CompGCN", "PoincareGCN", "LorentzGCN"]
+GNN_MODELS = ["CompGCN", "PoincareGCN", "PoincareGAT", "LorentzGCN"]
 
 
 class GNNModel(KGModel):
@@ -84,10 +89,13 @@ class GNNModel(KGModel):
         return 3 * d
 
     def _build_layers(self):
-        return [self.conv_cls(*ch[:4], act=ch[4], dropout=ch[5], **self.conv_kwargs())
-                for ch in self._channels()]
+        return [self.conv_cls(*ch[:4], act=ch[4], dropout=ch[5],
+                              **self.conv_kwargs(i))
+                for i, ch in enumerate(self._channels())]
 
-    def conv_kwargs(self):
+    def conv_kwargs(self, layer_idx: int):
+        """Per-layer conv constructor kwargs (reference BaseGNN's
+        kwargs_first/hidden/last_layer, messagepassing.py:148-206)."""
         return {}
 
     def init(self, key):
@@ -274,7 +282,7 @@ class CompGCN(GNNModel):
     def rel_channels(self, d):
         return d
 
-    def conv_kwargs(self):
+    def conv_kwargs(self, layer_idx: int):
         return {"opn": self.opn}
 
     def extra_param_specs(self):
@@ -320,9 +328,20 @@ class CompGCN(GNNModel):
 
 
 class PoincareGCN(GNNModel):
-    """Poincare-ball GCN (reference poincaregnn.py:465-549)."""
+    """Poincare-ball GCN (reference poincaregnn.py:465-549).
+
+    agg_method (the --gnn_agg_method CLI flag) selects among the
+    reference's three PoincareConv aggregation branches (poincaregnn.py:
+    132 hardcodes 1; 2/3 are its alternate paths at 195-216)."""
 
     conv_cls = PoincareConv
+
+    def __init__(self, cfg, args, dataset):
+        self.agg_method = getattr(args, "gnn_agg_method", 1) or 1
+        super().__init__(cfg, args, dataset)
+
+    def conv_kwargs(self, layer_idx: int):
+        return {"agg_method": self.agg_method}
 
     @property
     def rel_dim(self):
@@ -381,6 +400,36 @@ class PoincareGCN(GNNModel):
         if self.cfg.multi_c:
             return -H.hyp_distance_multi_c(lhs3, rhs_h, c3)[..., 0] ** 2
         return -H.hyp_distance(lhs3, rhs_h, c3)[..., 0] ** 2
+
+
+# -------------------------------- PoincareGAT --------------------------------
+
+
+class PoincareGAT(PoincareGCN):
+    """Multi-head-attention Poincare GCN (reference poincaregnn.py:551-572
+    wiring PoincareGATConv, 296-463).  The reference leaves this model OUT
+    of its registry (`all_models`, models/__init__.py:9 — dead code at
+    HEAD); it is registered here as a first-class model, with the conv
+    numeric-parity-tested against the executed reference class.
+
+    Head gather per layer mirrors the reference's HyperbolicBase kwargs
+    (poincaregnn.py:554-572): first layer 'mean' if layers < 2 else
+    'concat', hidden layers 'concat', last layer 'mean'.  Decoder and
+    relation stream are PoincareGCN's.  Constraint inherited from the
+    reference shapes: hidden_dim must be divisible by 2*heads (= 8) for
+    concat layers (per-head width must be even for the Givens rotations)."""
+
+    conv_cls = PoincareGATConv
+
+    def conv_kwargs(self, layer_idx: int):
+        n = self.n_layers
+        if layer_idx == 0:
+            gather = "mean" if n < 2 else "concat"
+        elif layer_idx == n - 1:
+            gather = "mean"
+        else:
+            gather = "concat"
+        return {"gather": gather, "agg_method": self.agg_method}
 
 
 # -------------------------------- LorentzGCN ---------------------------------
