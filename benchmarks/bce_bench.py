@@ -5,7 +5,10 @@ Measures the production dense multi-hot bce_loss (train/losses.py) through
 the full jitted-scan trainer, then A/Bs it against the r03 factored
 label-gather form it replaced.  Run on the real TPU:
 `python -m benchmarks.bce_bench`.
+YAGO3-10 scale (r05 verdict item 4): `BCE_BENCH_N_ENT=123182
+BCE_BENCH_N_REL=37 python -m benchmarks.bce_bench`.
 """
+import os
 import time
 
 import numpy as np
@@ -17,12 +20,14 @@ from complexhyperbolickge_tpu.data.dataset import epoch_batches, synthetic_kg
 from complexhyperbolickge_tpu.models import ModelConfig, get_model
 from complexhyperbolickge_tpu.train.trainer import TrainConfig, Trainer
 
-N_ENT, B = 40943, 500
+N_ENT = int(os.environ.get("BCE_BENCH_N_ENT", "40943"))
+N_REL_RAW = int(os.environ.get("BCE_BENCH_N_REL", "11"))
+B = 500
 
 
 def main():
-    data = synthetic_kg(n_entities=N_ENT, n_relations=11, n_train=86835,
-                        n_valid=500, n_test=500, seed=0)
+    data = synthetic_kg(n_entities=N_ENT, n_relations=N_REL_RAW,
+                        n_train=86835, n_valid=500, n_test=500, seed=0)
     n_ent, n_rel, _ = data.get_shape()
     cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=33,
                       multi_c=True, bias="learn", dtype="float32")

@@ -7,7 +7,10 @@ bound by the VPU transcendental chain (arccosh + softmax exp/log) over the
 materialization; this bench reports the value_and_grad step time.
 
 Run on the real TPU: `python -m benchmarks.ce_bench`.
+YAGO3-10 scale (r05 verdict item 4 — the (B,N) transcendental chain triples
+in N): `CE_BENCH_N_ENT=123182 CE_BENCH_N_REL=74 python -m benchmarks.ce_bench`.
 """
+import os
 import time
 
 import numpy as np
@@ -18,7 +21,9 @@ import jax.numpy as jnp
 from complexhyperbolickge_tpu.models import ModelConfig, get_model
 from complexhyperbolickge_tpu.train import losses as L
 
-N_ENT, N_REL, B, RANK = 40943, 22, 500, 33
+N_ENT = int(os.environ.get("CE_BENCH_N_ENT", "40943"))
+N_REL = int(os.environ.get("CE_BENCH_N_REL", "22"))
+B, RANK = 500, 33
 
 
 def main():
