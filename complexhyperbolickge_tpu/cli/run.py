@@ -111,7 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from save_dir's checkpoint")
     p.add_argument("--eval_backend", default="auto",
                    choices=["auto", "dense", "pallas", "pallas_maskless"],
-                   help="ranking path: auto/dense = scatter-free dense XLA "
+                   help="ranking path: auto = dense below 100k entities, "
+                        "maskless fused kernel at or above it on TPU "
+                        "(measured dMRR ~1e-10, see make_best_ranker); "
+                        "dense = scatter-free dense XLA "
                         "(exact tie semantics at every scale); pallas = the "
                         "fused VMEM-resident kernel (loud failure if it "
                         "cannot build); pallas_maskless (every hyperbolic "

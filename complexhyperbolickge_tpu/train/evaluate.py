@@ -164,25 +164,38 @@ def make_ranker(model, eval_batch_size: int | None = None,
     return rank_batch
 
 
+# 'auto' flips to the maskless fused kernel at or above this entity count
+# (supported families, TPU backends): the measured win there is decisive
+# (1.35-1.38x whole-split at YAGO) and the measured filtered-MRR delta is
+# ~1e-10 — see make_best_ranker docstring + benchmarks/eval_mrr_delta.py
+AUTO_MASKLESS_MIN_ENTITIES = 100_000
+
+
 def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
                      precision: str = "highest"):
     """Ranking-backend selector.
 
-    backend='auto' (and 'dense') returns the scatter-free dense XLA ranker:
-    the fastest EXACT-tie-semantics path at every measured scale — within
-    noise of the masked fused kernels at WN18RR (~200-224k q/s per-batch)
-    and 1.2x ahead at YAGO (121-127k vs 96-103k: the masked kernel streams
-    a (B, N) int8 filter mask that grows with N), benchmarks/eval_bench.py.
-    The round-4 'pallas_maskless' kernel beats dense outright (1.09x
-    WN18RR, 1.19-1.26x/1.35-1.38x-scan YAGO) and, with the in-kernel
-    gold-tie exclusion, measured rank-identical to the masked kernel
-    500/500 on-chip at both scales; its residual +-1 risk (exact f32 ties
-    between distinct non-gold entities across the tile-vs-flat dot shapes)
-    is the same class in which masked-vs-dense itself differs, but 'auto'
-    still deliberately does NOT select it — exact dense-tie semantics win
-    by default and the throughput mode stays opt-in.  The masked kernels
-    remain available (backend='pallas', every hyperbolic family) as the
-    VMEM-resident form and as a cross-check.
+    backend='auto' selects by scale (r05 policy, decided by measured
+    filtered-MRR deltas on trained params — benchmarks/eval_mrr_delta.py):
+
+    * below AUTO_MASKLESS_MIN_ENTITIES (or off-TPU, or unsupported model
+      family) — the scatter-free dense XLA ranker, same as 'dense': the
+      fastest EXACT-tie-semantics path there (within noise of the masked
+      fused kernels at WN18RR, ~200-224k q/s per-batch), and the maskless
+      win at that scale (1.07-1.09x) is inside the ±15% tunnel band.
+    * at or above it (hyperbolic/CHYP families on a TPU backend) — the
+      'pallas_maskless' subtract-filtered kernel: 1.19-1.26x dense
+      per-batch / 1.35-1.38x whole-split-scan at YAGO (123,182 entities),
+      measured rank-identical to the masked kernel 500/500 on-chip since
+      the in-kernel gold-tie exclusion, with filtered MRR equal to the
+      masked kernel's and within ~1e-10 of dense (2026-08-19, 5000
+      queries per scale).  Its residual +-1 risk (exact f32 ties between
+      distinct non-gold entities across the tile-vs-flat dot shapes) is
+      the same class in which masked-vs-dense already differs.
+
+    backend='dense' forces exact dense-tie semantics everywhere.  The
+    masked kernels remain available (backend='pallas', every hyperbolic
+    family) as the VMEM-resident form and as a cross-check.
 
     A failure to build a forced Pallas path is LOUD: backend='pallas'
     re-raises (a silent fallback would hide kernel rot).
@@ -196,15 +209,31 @@ def make_best_ranker(model, eval_batch_size: int, backend: str = "auto",
     ops/math.py::eval_matmul_precision — most relevant for GNN eval, whose
     distmult decoder sweep is a pure MXU matmul.
     """
-    if backend in ("pallas", "pallas_maskless"):
-        from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
-        from complexhyperbolickge_tpu.models.hyperbolic import (
-            AttRH,
-            BaseH,
-            BaseLorentz,
-        )
+    from complexhyperbolickge_tpu.models.chyperbolic import FFTUnitBall
+    from complexhyperbolickge_tpu.models.hyperbolic import (
+        AttRH,
+        BaseH,
+        BaseLorentz,
+    )
 
-        from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
+    from complexhyperbolickge_tpu.utils.platform import is_tpu_backend
+
+    if backend == "auto" and is_tpu_backend() \
+            and model.cfg.n_entities >= AUTO_MASKLESS_MIN_ENTITIES \
+            and isinstance(model, (FFTUnitBall, BaseH, BaseLorentz)):
+        # r05 policy flip (verdict item 3), decided by MEASURED MRR deltas,
+        # not the old rank-tie count: at YAGO scale the maskless kernel is
+        # 1.19-1.26x dense per-batch / 1.35-1.38x whole-split-scan, and on
+        # trained params its filtered MRR is identical to the masked
+        # kernel's and within ~1e-10 of dense (benchmarks/eval_mrr_delta.py,
+        # 2026-08-19: maskless == masked rank-for-rank at 5000 queries on
+        # both scales; both differ from dense only on the pre-existing
+        # f32-tie class, dMRR -1.9e-11 at YAGO).  Below the threshold the
+        # win is ~1.07-1.09x (inside tunnel noise) and exact dense-tie
+        # semantics stay the default.
+        backend = "pallas_maskless"
+
+    if backend in ("pallas", "pallas_maskless"):
 
         # Pallas TPU kernels lower only on TPU backends (native or
         # tunneled); elsewhere a forced 'pallas' runs in interpret mode

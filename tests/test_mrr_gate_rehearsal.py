@@ -62,15 +62,36 @@ pytestmark = [
 N_ENT, N_REL = 800, 20
 EPOCHS = int(os.environ.get("REHEARSAL_EPOCHS", "400"))
 
+# Skewed window-noise distribution for the NON-saturating variant (r05
+# verdict item 1): tail = head + off_r + u with u ~ P below, each (h, r)
+# appearing exactly once in the whole dataset, so filters never hide the
+# confusion.  Bayes-optimal filtered MRR = sum_i p_i / (i+1) ~ 0.642 at
+# K=4 — a mid-range plateau where a clamp/precision/sampler bug costing
+# 1-3 MRR points FAILS the gate's ±0.5-pt band (the saturating variant
+# cannot detect that class).  The skew matters: the Bayes-optimal
+# within-window ORDER is then systematic (rank by p, geometrically
+# representable as a rotation target at offset δ ∈ (0, 0.5) inside the
+# window), so both stacks converge to the SAME ordering and cross-stack
+# MRR spread stays well inside the band — with UNIFORM noise the
+# within-window order is idiosyncratic per stack and the spread (~±1 pt
+# at this split size) would blow the band without any bug.
+NOISE_P = (0.4, 0.3, 0.2, 0.1)
 
-def write_raw_dataset(root: str) -> None:
+
+def write_raw_dataset(root: str, noisy: bool = False) -> None:
     """Reference-format raw files: {train,valid,test} of tab-separated
     string triples under <root>/WN18RR (the gate hardcodes the dataset
     name; format per reference datasets/process.py:10-53)."""
     rng = np.random.default_rng(7)
-    offsets = rng.choice(np.arange(1, N_ENT), size=N_REL, replace=False)
+    k_noise = len(NOISE_P) if noisy else 1
+    offsets = rng.choice(np.arange(1, N_ENT - k_noise), size=N_REL,
+                         replace=False)
+    if noisy:
+        u = rng.choice(k_noise, p=NOISE_P, size=(N_REL, N_ENT))
+    else:
+        u = np.zeros((N_REL, N_ENT), dtype=np.int64)
     triples = [
-        (i, k, (i + int(off)) % N_ENT)
+        (i, k, (i + int(off) + int(u[k, i])) % N_ENT)
         for k, off in enumerate(offsets)
         for i in range(N_ENT)
     ]
@@ -90,9 +111,9 @@ def write_raw_dataset(root: str) -> None:
                 f.write(f"/c/en/ent_{h:05d}\t_rel_{r}\t/c/en/ent_{t:05d}\n")
 
 
-def test_gate_file_runs_on_generated_pickles(tmp_path):
+def _run_gate_on(tmp_path, noisy: bool):
     data_path = str(tmp_path / "data")
-    write_raw_dataset(data_path)
+    write_raw_dataset(data_path, noisy=noisy)
     # our preprocessing pipeline -> the pickle artifacts the gate requires
     examples, filters = process_dataset(os.path.join(data_path, "WN18RR"))
     assert examples["train"].shape[1] == 3
@@ -113,12 +134,40 @@ def test_gate_file_runs_on_generated_pickles(tmp_path):
          "tests/test_realdata_gate.py", "-x", "-q", "-s",
          "-p", "no:cacheprovider"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env, capture_output=True, text=True, timeout=5400,
+        env=env, capture_output=True, text=True, timeout=9000,
     )
     tail = (r.stdout or "")[-4000:] + "\n" + (r.stderr or "")[-2000:]
     assert r.returncode == 0, f"gate run failed:\n{tail}"
     assert "1 passed" in r.stdout, tail
     # surface the gate's printed MRRs in -s runs
+    mrrs = []
     for line in r.stdout.splitlines():
         if "MRR=" in line:
             print(line)
+            mrrs.append(float(line.rsplit("MRR=", 1)[1]))
+    return mrrs
+
+
+def test_gate_file_runs_on_generated_pickles(tmp_path):
+    """Saturating variant: both stacks converge to MRR 1.0 on the noiseless
+    permutation KG — proves the gate MACHINERY end to end (preprocess, both
+    training legs, patience loop, assertion), not parity resolution."""
+    _run_gate_on(tmp_path, noisy=False)
+
+
+def test_gate_nonsaturating_mid_plateau(tmp_path):
+    """DISCRIMINATING variant (r05 verdict item 1): skewed window noise
+    gives a mid-range Bayes plateau (~0.64), so the gate's ±0.5-pt band can
+    actually fail for the bug class it targets (a straight-through-clamp /
+    precision / sampler bug costs points here instead of still hitting 1.0).
+
+    (Execution record + measured per-seed band: see the module changelog
+    at the bottom of this docstring once the opt-in run has been recorded.)
+    """
+    mrrs = _run_gate_on(tmp_path, noisy=True)
+    # non-saturation guard: the whole point of this variant is a plateau
+    # the band can resolve — if data/protocol drift ever saturates it
+    # (MRR ~ 1.0) or collapses it to chance, the rehearsal stops proving
+    # anything and must fail loudly, not silently pass
+    assert mrrs, "gate printed no MRR lines"
+    assert all(0.30 <= m <= 0.90 for m in mrrs), mrrs
