@@ -77,12 +77,18 @@ EPOCHS = int(os.environ.get("REHEARSAL_EPOCHS", "400"))
 # at this split size) would blow the band without any bug.
 NOISE_P = (0.4, 0.3, 0.2, 0.1)
 
+# Data-generation seed for the per-seed band (REHEARSAL_DATA_SEED=8 ...):
+# each seed draws different relation offsets / noise table / split shuffle,
+# so running the noisy variant across seeds measures the cross-stack MRR
+# spread the ±0.5-pt band must dominate.
+DATA_SEED = int(os.environ.get("REHEARSAL_DATA_SEED", "7"))
+
 
 def write_raw_dataset(root: str, noisy: bool = False) -> None:
     """Reference-format raw files: {train,valid,test} of tab-separated
     string triples under <root>/WN18RR (the gate hardcodes the dataset
     name; format per reference datasets/process.py:10-53)."""
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(DATA_SEED)
     k_noise = len(NOISE_P) if noisy else 1
     offsets = rng.choice(np.arange(1, N_ENT - k_noise), size=N_REL,
                          replace=False)
