@@ -140,7 +140,7 @@ def _run_gate_on(tmp_path, noisy: bool):
          "tests/test_realdata_gate.py", "-x", "-q", "-s",
          "-p", "no:cacheprovider"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env, capture_output=True, text=True, timeout=9000,
+        env=env, capture_output=True, text=True, timeout=12600,
     )
     tail = (r.stdout or "")[-4000:] + "\n" + (r.stderr or "")[-2000:]
     assert r.returncode == 0, f"gate run failed:\n{tail}"
