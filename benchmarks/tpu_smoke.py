@@ -9,7 +9,9 @@ import numpy as np
 import jax, jax.numpy as jnp
 
 from complexhyperbolickge_tpu.data.dataset import epoch_batches, synthetic_kg
-from complexhyperbolickge_tpu.models import ModelConfig, all_models, get_model
+from complexhyperbolickge_tpu.models import (
+    GNN_MODELS, ModelConfig, all_models, get_model,
+)
 from complexhyperbolickge_tpu.train.evaluate import (
     avg_both, compute_metrics, make_best_ranker,
 )
@@ -38,7 +40,10 @@ def main():
             rank = 6 if name == "IFFTH" else 8
             cfg = ModelConfig(n_entities=n_ent, n_relations=n_rel, rank=rank,
                               multi_c=True, bias="learn", dtype="float32")
-            if name in ("PoincareGCN", "LorentzGCN", "CompGCN"):
+            # keyed on the registry's own GNN list: a hardcoded trio here
+            # silently skipped PoincareGAT's (cfg, args, dataset) signature
+            # when it became the 25th model (caught by this smoke, r05)
+            if name in GNN_MODELS:
                 model = get_model(name)(cfg, GNNArgs, data)
             else:
                 model = get_model(name)(cfg)
