@@ -37,11 +37,17 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=400,
                     help="epoch horizon (the gate's patience loop "
                          "self-terminates well before this)")
+    ap.add_argument("--train_seed", type=int, default=0,
+                    help="OUR leg's training PRNG seed (gate default 0); "
+                         "sweep it at a fixed data seed to measure the "
+                         "within-stack MRR spread the gate band must "
+                         "dominate")
     args = ap.parse_args()
 
-    # Both rehearsal-module globals are read from env at import time.
+    # The rehearsal/gate module globals are read from env at import time.
     os.environ["REHEARSAL_DATA_SEED"] = str(args.seed)
     os.environ["MRR_GATE_EPOCHS"] = str(args.epochs)
+    os.environ["MRR_GATE_TRAIN_SEED"] = str(args.train_seed)
 
     from complexhyperbolickge_tpu.data.preprocess import process_dataset
     from tests.test_mrr_gate_rehearsal import write_raw_dataset
@@ -65,7 +71,8 @@ def main() -> None:
         mrr = _train_ours(_P())
         dt = time.time() - t0
         print(f"\n[rehearsal_ours_leg] seed={args.seed} noisy={args.noisy} "
-              f"epochs<={args.epochs} wall={dt/60:.1f} min")
+              f"train_seed={args.train_seed} epochs<={args.epochs} "
+              f"wall={dt/60:.1f} min")
         print(f"WN18RR FFTRotH ours: MRR={mrr:.4f}")
 
 

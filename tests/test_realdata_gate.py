@@ -51,6 +51,11 @@ pytestmark = [
 MAX_EPOCHS = int(os.environ.get("MRR_GATE_EPOCHS", "500"))
 PATIENCE, VALID_EVERY = 30, 5
 RANK, BATCH, NEG, LR = 33, 500, 100, 3e-4
+# Training seed for OUR leg (the reference leg stays torch.manual_seed(0),
+# its protocol of record).  Non-zero values exist to measure our stack's
+# own training-seed MRR spread — the noise floor the gate's ±0.5-pt band
+# must dominate (scripts/rehearsal_ours_leg.py --train_seed).
+TRAIN_SEED = int(os.environ.get("MRR_GATE_TRAIN_SEED", "0"))
 
 
 def _train_ours(tmp_path) -> float:
@@ -65,7 +70,7 @@ def _train_ours(tmp_path) -> float:
         "--bias", "learn", "--init_size", "0.001", "--gamma", "0.0",
         "--dtype", "double", "--loss", "crossentropy",
         "--max_epochs", str(MAX_EPOCHS), "--patience", str(PATIENCE),
-        "--valid", str(VALID_EVERY),
+        "--valid", str(VALID_EVERY), "--seed", str(TRAIN_SEED),
         "--save_dir", str(tmp_path / "ours"),
     ])
     return train(args)["test"]["MRR"]
