@@ -192,12 +192,13 @@ def test_gate_nonsaturating_mid_plateau(tmp_path):
       scripts/rehearsal_ours_leg.py re-runs just it).
     - Within-stack noise floor (2026-08-20, data seed 7 FIXED, our leg
       swept over training seeds via --train_seed): MRR 0.6108 / 0.6084 /
-      0.6093 at train seeds 0/1/2 — a 0.24-pt range from PRNG draw alone
-      (init + negative sampling + shuffles).  The cross-stack deltas
-      above (0.26-0.40 pt) are therefore comparable to single-stack seed
-      noise — no evidence of systematic cross-stack bias — and the
-      ±0.5-pt band is calibrated at ~2x that floor: tight enough to catch
-      the 1-3-pt bug class, loose enough not to flag seed luck.
+      0.6093 / 0.6111 at train seeds 0-3 — a 0.27-pt range from PRNG
+      draw alone (init + negative sampling + shuffles).  The cross-stack
+      deltas above (0.26-0.40 pt) are therefore comparable to
+      single-stack seed noise — no evidence of systematic cross-stack
+      bias (reference 0.6068 sits 0.16 pt below the lowest ours seed) —
+      and the ±0.5-pt band is calibrated at ~2x that floor: tight enough
+      to catch the 1-3-pt bug class, loose enough not to flag seed luck.
     """
     mrrs = _run_gate_on(tmp_path, noisy=True)
     # non-saturation guard: the whole point of this variant is a plateau
